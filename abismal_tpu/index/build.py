@@ -1,0 +1,262 @@
+"""Index construction.
+
+A vectorized re-design of the reference index build
+(src/AbismalIndex.cpp:281-331): the five full-genome scans become NumPy
+vector passes, the windowed seed-selection DP runs in the native library
+(block-parallelizable), and per-bucket suffix sorting becomes one global
+lexsort over packed suffix keys.  The result is bit-identical to the
+reference's serialized index.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import numpy as np
+
+from ..constants import (
+    DEFAULT_MAX_CANDIDATES,
+    HASH_MASK_THREE,
+    KEY_WEIGHT,
+    KEY_WEIGHT_THREE,
+    MAX_N_COUNT,
+    N_SORTING_POSITIONS,
+    WINDOW_SIZE,
+)
+from ..io.genome import ChromLookup, load_genome
+from ..native import get_lib
+from ..utils.dna import (
+    NIBBLE_TO_BIT,
+    NIBBLE_TO_SRT_CT,
+    NIBBLE_TO_SRT_GA,
+    NIBBLE_TO_THREE_CT,
+    NIBBLE_TO_THREE_GA,
+    encode_genome_nibbles,
+    pack_nibbles_u64,
+)
+
+N_BUCKETS_TWO = 1 << KEY_WEIGHT
+N_BUCKETS_THREE = HASH_MASK_THREE
+
+
+@dataclass
+class AbismalIndex:
+    """In-memory index: packed genome + three hash tables
+    (AbismalIndex.hpp:160-190)."""
+
+    cl: ChromLookup
+    genome_words: np.ndarray  # uint64, 16 bases/word
+    counter: np.ndarray  # uint32[2^25+1] bucket start offsets
+    counter_t: np.ndarray  # uint32[3^16+1]
+    counter_a: np.ndarray  # uint32[3^16+1]
+    index: np.ndarray  # uint32 genome positions (two-letter buckets)
+    index_t: np.ndarray  # uint32 (three-letter C->T buckets)
+    index_a: np.ndarray  # uint32 (three-letter G->A buckets)
+    max_candidates: int = DEFAULT_MAX_CANDIDATES
+    exclude: list = field(default_factory=list)
+
+    @property
+    def genome_size(self) -> int:
+        return self.cl.get_genome_size()
+
+
+def contiguous_n(genome: np.ndarray):
+    """Maximal runs of 'N' as (start, end) pairs (AbismalIndex.cpp:125-145)."""
+    is_n = (genome == ord("N")).astype(np.int8)
+    d = np.diff(is_n, prepend=np.int8(0), append=np.int8(0))
+    starts = np.flatnonzero(d == 1)
+    ends = np.flatnonzero(d == -1)
+    return list(zip(starts.tolist(), ends.tolist()))
+
+
+def replace_included_n(genome: np.ndarray, exclude) -> None:
+    """Replace N bases outside `exclude` with LCG pseudo-random bases, in
+    increasing position order (AbismalIndex.cpp:164-175)."""
+    flags = np.zeros(genome.shape[0], dtype=np.int8)
+    for s, e in exclude:
+        flags[s:e] = 1
+    pos = np.flatnonzero((genome == ord("N")) & (flags == 0))
+    if pos.shape[0] == 0:
+        return
+    buf = np.empty(pos.shape[0], dtype=np.uint8)
+    get_lib().lcg_random_bases(1, pos.shape[0], buf.ctypes.data)
+    genome[pos] = buf
+
+
+def rolling_hashes(nibbles: np.ndarray):
+    """Two-letter 25-bit and three-letter base-3 rolling hash arrays over all
+    window start positions (AbismalIndex.hpp:271-305).
+
+    Returns (k2[lim2], k3t[lim3], k3a[lim3]) where lim2 = n - 25 + 1 and
+    lim3 = n - 16 + 1.
+    """
+    n = nibbles.shape[0]
+    lim2 = n - KEY_WEIGHT + 1
+    lim3 = n - KEY_WEIGHT_THREE + 1
+
+    bits = NIBBLE_TO_BIT[nibbles]
+    k2 = np.zeros(lim2, dtype=np.uint32)
+    for j in range(KEY_WEIGHT):
+        k2 = (k2 << np.uint32(1)) | bits[j : j + lim2]
+
+    three_t = NIBBLE_TO_THREE_CT[nibbles]
+    three_a = NIBBLE_TO_THREE_GA[nibbles]
+    k3t = np.zeros(lim3, dtype=np.uint32)
+    k3a = np.zeros(lim3, dtype=np.uint32)
+    for j in range(KEY_WEIGHT_THREE):
+        k3t = k3t * np.uint32(3) + three_t[j : j + lim3]
+        k3a = k3a * np.uint32(3) + three_a[j : j + lim3]
+    k3t %= np.uint32(HASH_MASK_THREE)
+    k3a %= np.uint32(HASH_MASK_THREE)
+    return k2, k3t, k3a
+
+
+def included_mask(n: int, exclude) -> np.ndarray:
+    """True for positions not inside any exclude interval."""
+    flags = np.ones(n, dtype=bool)
+    for s, e in exclude:
+        flags[min(s, n) : min(e, n)] = False
+    return flags
+
+
+def get_block_bounds(start_pos: int, step: int, end_pos: int, exclude):
+    """Block decomposition skipping exclude intervals
+    (AbismalIndex.cpp:438-469)."""
+    blocks = []
+    bs = start_pos
+    i = 0
+    while bs < end_pos and i < len(exclude):
+        if bs < exclude[i][0]:
+            be = min(exclude[i][0], bs + step, end_pos)
+            blocks.append((bs, be))
+            bs += step
+            if bs >= exclude[i][1]:
+                bs = exclude[i][1]
+                i += 1
+        else:
+            bs = exclude[i][1]
+            i += 1
+    while bs < end_pos:
+        blocks.append((bs, min(bs + step, end_pos)))
+        bs += step
+    return blocks
+
+
+def _suffix_keys_two(bits: np.ndarray, pos: np.ndarray):
+    """Pack the two-letter suffix (symbols key_weight..n_sorting_positions-1
+    of each position) into u64 chunks whose unsigned comparison equals the
+    reference comparator (AbismalIndex.cpp:857-875)."""
+    n_sym = N_SORTING_POSITIONS - KEY_WEIGHT  # 231
+    chunks = []
+    for c in range((n_sym + 63) // 64):
+        key = np.zeros(pos.shape[0], dtype=np.uint64)
+        base = KEY_WEIGHT + 64 * c
+        for j in range(64):
+            sym = base + j
+            key <<= np.uint64(1)
+            if sym < N_SORTING_POSITIONS:
+                key |= bits[pos + sym].astype(np.uint64)
+        chunks.append(key)
+    return chunks
+
+
+def _suffix_keys_three(srt: np.ndarray, pos: np.ndarray):
+    """Pack the three-letter suffix symbols (nibble&5 or nibble&10, 4 bits
+    each) into u64 chunks (AbismalIndex.cpp:877-903)."""
+    n_sym = N_SORTING_POSITIONS - KEY_WEIGHT_THREE  # 240
+    chunks = []
+    for c in range(n_sym // 16):
+        key = np.zeros(pos.shape[0], dtype=np.uint64)
+        base = KEY_WEIGHT_THREE + 16 * c
+        for j in range(16):
+            key = (key << np.uint64(4)) | srt[pos + base + j].astype(np.uint64)
+        chunks.append(key)
+    return chunks
+
+
+def _sorted_bucket_fill(keys: np.ndarray, pos: np.ndarray, suffix_chunks,
+                        n_buckets: int):
+    """Order positions by (bucket, suffix, descending position) and return
+    (counter_starts, index).  Descending position breaks suffix ties exactly
+    like the reference's back-to-front counting-sort fill followed by
+    stable_sort (AbismalIndex.cpp:545-641,905-978)."""
+    counts = np.bincount(keys, minlength=n_buckets)
+    counter = np.zeros(n_buckets + 1, dtype=np.uint32)
+    np.cumsum(counts, out=counts)
+    counter[1:] = counts
+    inv_pos = np.uint32(0xFFFFFFFF) - pos
+    order = np.lexsort(tuple([inv_pos] + suffix_chunks[::-1] + [keys]))
+    return counter, pos[order].astype(np.uint32)
+
+
+def create_index(genome_file: str, verbose: bool = False) -> AbismalIndex:
+    genome, cl = load_genome(genome_file)
+    n = genome.shape[0]
+
+    # clean: exclude long N runs, replace short ones (AbismalIndex.cpp:295-304)
+    exclude = [(s, e) for s, e in contiguous_n(genome) if e - s > MAX_N_COUNT]
+    replace_included_n(genome, exclude)
+
+    nibbles = encode_genome_nibbles(genome)
+    genome_words = pack_nibbles_u64(nibbles)
+    del genome
+
+    lim2 = n - KEY_WEIGHT + 1
+    lim3 = n - KEY_WEIGHT_THREE + 1
+    k2, k3t, k3a = rolling_hashes(nibbles)
+    incl = included_mask(n, exclude)
+
+    # pass 1: unmasked bucket sizes (AbismalIndex.cpp:333-436)
+    cnt2 = np.bincount(k2[incl[:lim2]], minlength=N_BUCKETS_TWO)
+    cnt3t = np.bincount(k3t[incl[:lim3]], minlength=N_BUCKETS_THREE)
+    cnt3a = np.bincount(k3a[incl[:lim3]], minlength=N_BUCKETS_THREE)
+
+    # two- vs three-letter classification (AbismalIndex.cpp:471-543):
+    # two_letter_cost(c2) <= three_letter_cost(ct, ca) = (ct + ca) >> 1
+    itl = np.zeros(n, dtype=np.uint8)
+    m = incl[:lim2]
+    covered = np.flatnonzero(m)
+    itl[covered] = (
+        cnt2[k2[covered]] <= ((cnt3t[k3t[covered]] + cnt3a[k3a[covered]]) >> 1)
+    )
+
+    # seed-selection DP per block (AbismalIndex.cpp:643-855)
+    keep = np.zeros(n, dtype=np.uint8)
+    blocks = get_block_bounds(0, 1_000_000, lim2, exclude)
+    bstarts = np.asarray([b[0] for b in blocks], dtype=np.int64)
+    bends = np.asarray([b[1] for b in blocks], dtype=np.int64)
+    c2_u32 = cnt2.astype(np.uint32)
+    c3t_u32 = cnt3t.astype(np.uint32)
+    c3a_u32 = cnt3a.astype(np.uint32)
+    get_lib().compress_dp_blocks(
+        nibbles.ctypes.data, c2_u32.ctypes.data, c3t_u32.ctypes.data,
+        c3a_u32.ctypes.data, itl.ctypes.data, bstarts.ctypes.data,
+        bends.ctypes.data, len(blocks), WINDOW_SIZE, keep.ctypes.data,
+    )
+
+    # pass 2: masked bucket sizes + fill + suffix sort
+    keep_b = keep.view(bool)
+    kept2 = np.flatnonzero(m & keep_b[:lim2] & itl.view(bool)[:lim2])
+    kept3 = np.flatnonzero(m & keep_b[:lim2] & ~itl.view(bool)[:lim2])
+
+    bits = NIBBLE_TO_BIT[nibbles]
+    counter, index = _sorted_bucket_fill(
+        k2[kept2], kept2.astype(np.uint32), _suffix_keys_two(bits, kept2),
+        N_BUCKETS_TWO,
+    )
+    srt_t = NIBBLE_TO_SRT_CT[nibbles]
+    counter_t, index_t = _sorted_bucket_fill(
+        k3t[kept3], kept3.astype(np.uint32), _suffix_keys_three(srt_t, kept3),
+        N_BUCKETS_THREE,
+    )
+    srt_a = NIBBLE_TO_SRT_GA[nibbles]
+    counter_a, index_a = _sorted_bucket_fill(
+        k3a[kept3], kept3.astype(np.uint32), _suffix_keys_three(srt_a, kept3),
+        N_BUCKETS_THREE,
+    )
+
+    return AbismalIndex(
+        cl=cl, genome_words=genome_words, counter=counter,
+        counter_t=counter_t, counter_a=counter_a, index=index,
+        index_t=index_t, index_a=index_a, exclude=exclude,
+    )

@@ -1,0 +1,68 @@
+"""ctypes loader for the native host-side helper library, building it with
+g++ on first use (and rebuilding when the source is newer than the .so)."""
+
+import ctypes
+import os
+import subprocess
+import threading
+
+_HERE = os.path.dirname(os.path.abspath(__file__))
+_SRC = os.path.join(_HERE, "_native.cpp")
+_SO = os.path.join(_HERE, "_native.so")
+_LOCK = threading.Lock()
+_LIB = None
+
+
+def _build() -> None:
+    cmd = [
+        "g++", "-std=c++17", "-O3", "-fPIC", "-shared", "-march=native",
+        "-o", _SO, _SRC,
+    ]
+    subprocess.run(cmd, check=True, capture_output=True)
+
+
+def get_lib() -> ctypes.CDLL:
+    global _LIB
+    with _LOCK:
+        if _LIB is not None:
+            return _LIB
+        if (not os.path.exists(_SO)
+                or os.path.getmtime(_SO) < os.path.getmtime(_SRC)):
+            _build()
+        lib = ctypes.CDLL(_SO)
+
+        lib.lcg_random_bases.restype = ctypes.c_uint32
+        lib.lcg_random_bases.argtypes = [
+            ctypes.c_uint32, ctypes.c_int64, ctypes.c_void_p,
+        ]
+
+        lib.compress_dp_blocks.restype = None
+        lib.compress_dp_blocks.argtypes = [
+            ctypes.c_void_p,  # nibbles
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,  # counters
+            ctypes.c_void_p,  # itl
+            ctypes.c_void_p, ctypes.c_void_p,  # block starts/ends
+            ctypes.c_int64,  # n_blocks
+            ctypes.c_uint32,  # window
+            ctypes.c_void_p,  # keep out
+        ]
+
+        lib.simreads_native.restype = ctypes.c_int
+        lib.simreads_native.argtypes = [
+            ctypes.c_void_p, ctypes.c_int64,  # genome, size
+            ctypes.c_void_p, ctypes.c_int64,  # chrom starts, n_chroms
+            ctypes.c_char_p,  # names joined
+            ctypes.c_int64, ctypes.c_int64,  # n_reads, read_length
+            ctypes.c_int64, ctypes.c_int64,  # min/max frag
+            ctypes.c_char,  # strand code
+            ctypes.c_int, ctypes.c_int,  # pbat, random_pbat
+            ctypes.c_double, ctypes.c_double, ctypes.c_double,
+            ctypes.c_double,  # mutation, sub, ins, del
+            ctypes.c_double,  # bs_conv
+            ctypes.c_uint64,  # seed
+            ctypes.c_int, ctypes.c_int, ctypes.c_int,  # single, fasta, show
+            ctypes.c_char_p, ctypes.c_char_p, ctypes.c_char_p,  # paths
+        ]
+
+        _LIB = lib
+        return _LIB

@@ -1,0 +1,598 @@
+// Native host-side helpers for abismal-tpu.
+//
+// This library implements the sequential host-side hot loops that are not
+// worth expressing as TPU programs: the deterministic N-replacement LCG, the
+// windowed seed-selection DP used during index construction, and the WGBS
+// read simulator (bit-compatible with `abismal sim`, including its use of
+// std::mt19937 and the libstdc++ uniform distribution mappings, which are
+// re-implemented explicitly here so output does not depend on the host's C++
+// standard library).
+//
+// Reference semantics: src/AbismalIndex.hpp:39-64 (LCG),
+// src/AbismalIndex.cpp:643-855 (compress_dp), src/simreads.cpp (simulator).
+//
+// Built as a plain shared library; accessed from Python via ctypes.
+
+#include <algorithm>
+#include <cmath>
+#include <cstdint>
+#include <cstdio>
+#include <cstring>
+#include <limits>
+#include <string>
+#include <vector>
+
+extern "C" {
+
+// ---------------------------------------------------------------------------
+// Deterministic LCG random bases: x <- (1103515245*x + 12345) & (2^31 - 1),
+// emitting "ACGT"[x & 3].  Returns the final state.
+// ---------------------------------------------------------------------------
+uint32_t
+lcg_random_bases(uint32_t state, int64_t n, uint8_t *out) {
+  static const char bases[4] = {'A', 'C', 'G', 'T'};
+  for (int64_t i = 0; i < n; ++i) {
+    state = (1103515245u * state + 12345u) & 0x7fffffffu;
+    out[i] = static_cast<uint8_t>(bases[state & 3u]);
+  }
+  return state;
+}
+
+// ---------------------------------------------------------------------------
+// Windowed seed-selection DP ("compress"): for each block, minimize the
+// total expected candidate cost subject to every window of `window`
+// consecutive positions keeping at least one indexed position.
+//
+//   opt[p] = c[p]                                   for p < window
+//   opt[p] = c[p] + min_{q in [p-window, p-1]} opt[q]   otherwise,
+// with prev[p] = the smallest q attaining the window minimum; traceback
+// starts from the largest p in the final window with the strictly smallest
+// cost, and marks the chain into keep[].
+//
+// Hash keys are recomputed per block with the same truncated spool the
+// reference uses so small blocks produce identical costs.
+// ---------------------------------------------------------------------------
+
+static const uint32_t KEY_WEIGHT = 25;
+static const uint32_t KEY_WEIGHT_THREE = 16;
+static const uint32_t HASH_MASK = (1u << 25) - 1;
+static const uint32_t HASH_MASK_THREE = 43046721u;  // 3^16
+
+static inline uint32_t
+nib_bit(const uint8_t n) {
+  return (n & 5u) == 0 ? 1u : 0u;
+}
+static inline uint32_t
+nib_three_ct(const uint8_t n) {
+  return ((((n & 4u) != 0) << 1) | ((n & 1u) != 0));
+}
+static inline uint32_t
+nib_three_ga(const uint8_t n) {
+  return ((((n & 8u) != 0) << 1) | ((n & 2u) != 0));
+}
+
+void
+compress_dp_blocks(const uint8_t *nib,    // genome nibbles, full length
+                   const uint32_t *counter, const uint32_t *counter_t,
+                   const uint32_t *counter_a,
+                   const uint8_t *itl,    // is_two_letter per position
+                   const int64_t *block_starts, const int64_t *block_ends,
+                   int64_t n_blocks, uint32_t window, uint8_t *keep) {
+  const uint64_t SENTINEL = std::numeric_limits<uint64_t>::max();
+  std::vector<uint64_t> opt;
+  std::vector<uint64_t> prev;
+  std::vector<uint64_t> qidx;  // deque of candidate indices
+  std::vector<uint64_t> qcost;
+
+  for (int64_t b = 0; b < n_blocks; ++b) {
+    const int64_t bs = block_starts[b];
+    const int64_t be = block_ends[b];
+    const uint64_t cbs = static_cast<uint64_t>(be - bs);
+    if (cbs < window)
+      continue;
+
+    opt.assign(cbs, 0);
+    prev.assign(cbs, SENTINEL);
+
+    // spool hashes; the two-letter spool is truncated to the block size
+    // (AbismalIndex.cpp:762-766), the three-letter spool is not (:771-777)
+    uint32_t h2 = 0, ht = 0, ha = 0;
+    const uint64_t m2 = std::min<uint64_t>(cbs, KEY_WEIGHT - 1);
+    for (uint64_t j = 0; j < m2; ++j)
+      h2 = ((h2 << 1) | nib_bit(nib[bs + j])) & HASH_MASK;
+    for (uint64_t j = 0; j < KEY_WEIGHT_THREE - 1; ++j) {
+      const uint8_t x = nib[bs + j];
+      ht = (ht * 3 + nib_three_ct(x)) % HASH_MASK_THREE;
+      ha = (ha * 3 + nib_three_ga(x)) % HASH_MASK_THREE;
+    }
+
+    // monotone deque over a sliding window of opt values
+    uint64_t qf = 0, qb = 0;  // [qf, qb) into qidx/qcost
+    qidx.assign(cbs + 1, 0);
+    qcost.assign(cbs + 1, 0);
+
+    uint64_t i2 = m2;                      // next two-letter symbol offset
+    uint64_t i3 = KEY_WEIGHT_THREE - 1;    // next three-letter symbol offset
+    for (uint64_t p = 0; p < cbs; ++p) {
+      h2 = ((h2 << 1) | nib_bit(nib[bs + i2++])) & HASH_MASK;
+      const uint8_t x3 = nib[bs + i3++];
+      ht = (ht * 3 + nib_three_ct(x3)) % HASH_MASK_THREE;
+      ha = (ha * 3 + nib_three_ga(x3)) % HASH_MASK_THREE;
+
+      const uint64_t c =
+        itl[bs + p] ? static_cast<uint64_t>(counter[h2])
+                    : (static_cast<uint64_t>(counter_t[ht]) + counter_a[ha]) >> 1;
+
+      if (p < window) {
+        opt[p] = c;
+        prev[p] = SENTINEL;
+      }
+      else {
+        // window minimum over [p-window, p-1]; deque front is the earliest
+        // index attaining it
+        opt[p] = qcost[qf] + c;
+        prev[p] = qidx[qf];
+      }
+      // push (p, opt[p]) keeping costs non-decreasing front to back;
+      // strict '>' keeps the earliest index among equal minima in front
+      while (qb > qf && qcost[qb - 1] > opt[p])
+        --qb;
+      qidx[qb] = p;
+      qcost[qb] = opt[p];
+      ++qb;
+      // expire indices that fall out of the window for position p+1
+      while (qidx[qf] + window <= p)
+        ++qf;
+    }
+
+    // traceback start: among the last `window` positions, the smallest
+    // cost, with the largest index winning ties (descending scan with
+    // strict '<', AbismalIndex.cpp:827-836)
+    uint64_t best_cost = SENTINEL;
+    uint64_t last = SENTINEL;
+    for (uint64_t p = cbs - 1; p + window >= cbs && p != SENTINEL; --p) {
+      if (opt[p] < best_cost) {
+        best_cost = opt[p];
+        last = p;
+      }
+      if (p == 0)
+        break;
+    }
+
+    uint64_t cur = last;
+    while (cur != SENTINEL) {
+      keep[bs + cur] = 1;
+      cur = prev[cur];
+    }
+  }
+}
+
+// ---------------------------------------------------------------------------
+// MT19937 (32-bit Mersenne Twister, standard algorithm) plus the libstdc++
+// mappings for uniform_int_distribution<uint64_t> over the full range and
+// uniform_real_distribution<double> over [0,1) (generate_canonical with two
+// 32-bit draws), reproduced explicitly for cross-platform determinism.
+// ---------------------------------------------------------------------------
+struct MT19937 {
+  uint32_t mt[624];
+  int idx;
+
+  explicit MT19937(uint32_t seed) {
+    mt[0] = seed;
+    for (int i = 1; i < 624; ++i)
+      mt[i] = 1812433253u * (mt[i - 1] ^ (mt[i - 1] >> 30)) + i;
+    idx = 624;
+  }
+
+  void
+  refill() {
+    for (int i = 0; i < 624; ++i) {
+      const uint32_t y = (mt[i] & 0x80000000u) | (mt[(i + 1) % 624] & 0x7fffffffu);
+      uint32_t next = mt[(i + 397) % 624] ^ (y >> 1);
+      if (y & 1u)
+        next ^= 0x9908b0dfu;
+      mt[i] = next;
+    }
+    idx = 0;
+  }
+
+  uint32_t
+  next32() {
+    if (idx >= 624)
+      refill();
+    uint32_t y = mt[idx++];
+    y ^= y >> 11;
+    y ^= (y << 7) & 0x9d2c5680u;
+    y ^= (y << 15) & 0xefc60000u;
+    y ^= y >> 18;
+    return y;
+  }
+
+  // std::uniform_int_distribution<uint64_t> over [0, 2^64-1] from a 32-bit
+  // engine: high word drawn first, then low word
+  uint64_t
+  next64() {
+    const uint64_t hi = next32();
+    const uint64_t lo = next32();
+    return (hi << 32) | lo;
+  }
+
+  // std::uniform_real_distribution<double> over [0,1):
+  // generate_canonical<double,53>: sum = lo + hi*2^32, result sum / 2^64
+  double
+  next_double() {
+    const double r = 4294967296.0;  // 2^32
+    double sum = 0.0, tmp = 1.0;
+    sum += static_cast<double>(next32()) * tmp;
+    tmp *= r;
+    sum += static_cast<double>(next32()) * tmp;
+    tmp *= r;
+    double ret = sum / tmp;
+    if (ret >= 1.0)
+      ret = std::nextafter(1.0, 0.0);
+    return ret;
+  }
+};
+
+// ---------------------------------------------------------------------------
+// WGBS read simulator (parity with `abismal sim`, src/simreads.cpp).
+// ---------------------------------------------------------------------------
+
+namespace {
+
+struct SimRng {
+  MT19937 mt;
+  uint32_t lcg{1};
+
+  explicit SimRng(uint64_t seed) : mt(static_cast<uint32_t>(seed)) {}
+
+  uint64_t
+  rand_int() {
+    return mt.next64();
+  }
+  double
+  rand_double() {
+    return mt.next_double();
+  }
+  char
+  random_base() {
+    lcg = (1103515245u * lcg + 12345u) & 0x7fffffffu;
+    return "ACGT"[lcg & 3u];
+  }
+};
+
+inline char
+complement(const char c) {
+  switch (c) {
+  case 'A': return 'T';
+  case 'C': return 'G';
+  case 'G': return 'C';
+  case 'T': return 'A';
+  default: return 'N';
+  }
+}
+
+inline std::string
+revcomp(const std::string &s) {
+  std::string t(s.rbegin(), s.rend());
+  for (auto &c : t)
+    c = complement(c);
+  return t;
+}
+
+struct CigarOp {
+  uint32_t len;
+  char op;
+};
+
+inline std::vector<CigarOp>
+parse_cigar(const std::string &c) {
+  std::vector<CigarOp> ops;
+  uint32_t n = 0;
+  for (const char ch : c) {
+    if (ch >= '0' && ch <= '9')
+      n = n * 10 + (ch - '0');
+    else {
+      ops.push_back({n, ch});
+      n = 0;
+    }
+  }
+  return ops;
+}
+
+inline std::string
+unparse_cigar(const std::vector<CigarOp> &ops) {
+  std::string r;
+  for (const auto &o : ops) {
+    r += std::to_string(o.len);
+    r += o.op;
+  }
+  return r;
+}
+
+inline bool
+consumes_query(const char op) {
+  return op == 'M' || op == 'I' || op == 'S' || op == '=' || op == 'X';
+}
+
+inline std::string
+truncate_cigar_q(const std::string &c, const uint32_t n_ops) {
+  std::vector<CigarOp> out;
+  uint32_t q = 0;
+  for (const auto &o : parse_cigar(c)) {
+    if (q >= n_ops)
+      break;
+    if (consumes_query(o.op)) {
+      const uint32_t take = std::min(o.len, n_ops - q);
+      q += take;
+      if (take)
+        out.push_back({take, o.op});
+      if (q >= n_ops)
+        break;
+    }
+    else
+      out.push_back(o);
+  }
+  return unparse_cigar(out);
+}
+
+inline std::string
+reverse_cigar(const std::string &c) {
+  auto ops = parse_cigar(c);
+  std::reverse(ops.begin(), ops.end());
+  return unparse_cigar(ops);
+}
+
+inline std::string
+merge_equal_neighbors(const std::string &c) {
+  std::vector<CigarOp> out;
+  for (const auto &o : parse_cigar(c)) {
+    if (!out.empty() && out.back().op == o.op)
+      out.back().len += o.len;
+    else
+      out.push_back(o);
+  }
+  return unparse_cigar(out);
+}
+
+}  // namespace
+
+// Runs the full simulation, writing read1/read2/loc files.  Returns 0 on
+// success.  `chrom_names` is a '\n'-joined list aligned with chrom_starts.
+int
+simreads_native(const uint8_t *genome, int64_t genome_size,
+                const uint32_t *chrom_starts, int64_t n_chroms,
+                const char *chrom_names_joined, int64_t n_reads,
+                int64_t read_length, int64_t min_frag, int64_t max_frag,
+                char strand_code, int pbat, int random_pbat,
+                double mutation_rate, double sub_rate, double ins_rate,
+                double del_rate, double bs_conv, uint64_t seed,
+                int single_end, int fasta_format, int show_cigar_matches,
+                const char *read1_path, const char *read2_path,
+                const char *loc_path) {
+  // normalize change-type rates (simreads.cpp:351-362)
+  {
+    const double total = std::max(sub_rate + ins_rate + del_rate,
+                                  std::numeric_limits<double>::min());
+    sub_rate /= total;
+    ins_rate /= total;
+    del_rate /= total;
+    ins_rate += sub_rate;
+    del_rate += ins_rate;
+  }
+
+  std::vector<std::string> names;
+  {
+    std::string blob(chrom_names_joined);
+    size_t p = 0;
+    while (p <= blob.size() && static_cast<int64_t>(names.size()) < n_chroms) {
+      size_t e = blob.find('\n', p);
+      if (e == std::string::npos)
+        e = blob.size();
+      names.push_back(blob.substr(p, e - p));
+      p = e + 1;
+    }
+  }
+
+  SimRng rng(seed);
+
+  FILE *f1 = std::fopen(read1_path, "w");
+  if (!f1)
+    return 1;
+  FILE *f2 = nullptr;
+  if (!single_end) {
+    f2 = std::fopen(read2_path, "w");
+    if (!f2) {
+      std::fclose(f1);
+      return 1;
+    }
+  }
+  FILE *floc = nullptr;
+  if (loc_path && loc_path[0]) {
+    floc = std::fopen(loc_path, "w");
+    if (!floc) {
+      std::fclose(f1);
+      if (f2)
+        std::fclose(f2);
+      return 1;
+    }
+  }
+
+  const char *gc = reinterpret_cast<const char *>(genome);
+
+  for (int64_t r = 0; r < n_reads; ++r) {
+    // --- sample fragment (simreads.cpp:272-348) ---
+    int64_t frag_len = min_frag;
+    if (max_frag > min_frag)
+      frag_len = min_frag + static_cast<int64_t>(
+                              rng.rand_int() %
+                              static_cast<uint64_t>(max_frag - min_frag));
+    const uint64_t lim = static_cast<uint64_t>(genome_size - frag_len + 1);
+    uint64_t posn = rng.rand_int() % lim;
+    std::string seq(gc + posn, gc + posn + frag_len);
+
+    // chrom lookup: upper_bound(starts, pos) - 1
+    int64_t ci = 0;
+    {
+      int64_t lo = 0, hi = n_chroms + 1;  // starts has n_chroms+1 entries
+      while (lo < hi) {
+        const int64_t mid = (lo + hi) / 2;
+        if (chrom_starts[mid] <= posn)
+          lo = mid + 1;
+        else
+          hi = mid;
+      }
+      ci = lo - 1;
+    }
+    uint64_t start_pos = posn - chrom_starts[ci];
+    const std::string &chrom = names[ci];
+    uint64_t end_pos = start_pos + frag_len;
+    const std::string name = "read" + std::to_string(r);
+    char strand = '+';
+    if (strand_code == 'r')
+      strand = '-';
+    else if (strand_code == 'b')
+      strand = (rng.rand_int() & 1u) ? '+' : '-';
+    if (strand == '-')
+      seq = revcomp(seq);
+
+    // --- mutate (simreads.cpp:350-411) ---
+    std::string mseq, ucigar;
+    {
+      size_t i = 0;
+      const std::string orig(seq);
+      while (i < orig.size()) {
+        char mut = '=';
+        const double x = rng.rand_double();
+        if (x <= mutation_rate) {
+          const double y = rng.rand_double();
+          mut = y < sub_rate ? 'M' : (y < ins_rate ? 'I' : 'D');
+        }
+        if (mut == 'I') {
+          ucigar += 'I';
+          mseq += rng.random_base();
+        }
+        else if (mut == 'D') {
+          ucigar += 'D';
+          ++i;
+        }
+        else if (mut == 'M') {
+          ucigar += 'M';
+          mseq += rng.random_base();
+          ++i;
+        }
+        else {
+          ucigar += '=';
+          mseq += orig[i];
+          ++i;
+        }
+      }
+      seq.swap(mseq);
+    }
+    // compress per-base cigar
+    std::string cigar;
+    {
+      size_t i = 0;
+      while (i < ucigar.size()) {
+        size_t j = i;
+        while (j < ucigar.size() && ucigar[j] == ucigar[i])
+          ++j;
+        cigar += std::to_string(j - i);
+        cigar += ucigar[i];
+        i = j;
+      }
+    }
+
+    // --- bisulfite conversion (simreads.cpp:161-175) ---
+    {
+      bool a_rich = false;
+      if (pbat)
+        a_rich = true;
+      else if (random_pbat)
+        a_rich = rng.rand_double() < 0.5;
+      const char from = a_rich ? 'G' : 'C';
+      const char to = a_rich ? 'A' : 'T';
+      for (auto &c : seq)
+        if (c == from && rng.rand_double() < bs_conv)
+          c = to;
+    }
+
+    if (!show_cigar_matches) {
+      std::string c(cigar);
+      for (auto &ch : c)
+        if (ch == '=')
+          ch = 'M';
+      cigar = merge_equal_neighbors(c);
+    }
+
+    // --- ground-truth locations line (simreads.cpp:203-270) ---
+    if (floc) {
+      const bool rc = strand == '-';
+      const uint16_t fl_read = 0x1 | 0x2 | 0x40 | (rc ? 0x10 : 0x20);
+      const uint16_t fl_mate = 0x1 | 0x2 | 0x80 | (rc ? 0x20 : 0x10);
+      const uint64_t read_pos = start_pos + 1;
+      const uint64_t mate_pos = end_pos - read_length + 1;
+      const int64_t tlen = rc ? -static_cast<int64_t>(seq.size())
+                              : static_cast<int64_t>(seq.size());
+      std::string cigar1 = truncate_cigar_q(cigar, read_length);
+      std::string cigar2 = truncate_cigar_q(reverse_cigar(cigar), read_length);
+      if (rc)
+        cigar1 = reverse_cigar(cigar1);
+      else
+        cigar2 = reverse_cigar(cigar2);
+      const std::string seq1 = seq.substr(0, std::min<size_t>(seq.size(), read_length));
+      const std::string rcseq = revcomp(seq);
+      const std::string seq2 = rcseq.substr(0, std::min<size_t>(rcseq.size(), read_length));
+      const uint64_t pos1 = rc ? mate_pos : read_pos;
+      const uint64_t pos2 = rc ? read_pos : mate_pos;
+      std::fprintf(floc,
+                   "%s.1\t%u\t%s\t%llu\t255\t%s\t=\t%llu\t%lld\t%s\t*\n"
+                   "%s.2\t%u\t%s\t%llu\t255\t%s\t=\t%llu\t%lld\t%s\t*\n",
+                   name.c_str(), fl_read, chrom.c_str(),
+                   static_cast<unsigned long long>(pos1), cigar1.c_str(),
+                   static_cast<unsigned long long>(pos2),
+                   static_cast<long long>(tlen), seq1.c_str(), name.c_str(),
+                   fl_mate, chrom.c_str(),
+                   static_cast<unsigned long long>(pos2), cigar2.c_str(),
+                   static_cast<unsigned long long>(pos1),
+                   static_cast<long long>(-tlen), seq2.c_str());
+    }
+
+    // --- emit reads (simreads.cpp:113-133) ---
+    {
+      std::string read = seq.substr(0, std::min<size_t>(seq.size(), read_length));
+      // NB: the bound is re-evaluated as the read grows, so only about half
+      // of the missing length is filled -- reference behavior
+      // (simreads.cpp:115-118)
+      for (int64_t i = 0; i < read_length - static_cast<int64_t>(read.size());
+           ++i)
+        read += rng.random_base();
+      if (fasta_format)
+        std::fprintf(f1, ">%s.1\n%s\n", name.c_str(), read.c_str());
+      else
+        std::fprintf(f1, "@%s.1\n%s\n+\n%s\n", name.c_str(), read.c_str(),
+                     std::string(read.size(), 'B').c_str());
+    }
+    if (!single_end) {
+      std::string read = revcomp(seq);
+      read = read.substr(0, std::min<size_t>(read.size(), read_length));
+      for (int64_t i = 0; i < read_length - static_cast<int64_t>(read.size());
+           ++i)
+        read += rng.random_base();
+      if (fasta_format)
+        std::fprintf(f2, ">%s.2\n%s\n", name.c_str(), read.c_str());
+      else
+        std::fprintf(f2, "@%s.2\n%s\n+\n%s\n", name.c_str(), read.c_str(),
+                     std::string(read.size(), 'B').c_str());
+    }
+  }
+
+  std::fclose(f1);
+  if (f2)
+    std::fclose(f2);
+  if (floc)
+    std::fclose(floc);
+  return 0;
+}
+
+}  // extern "C"
