@@ -1,0 +1,194 @@
+"""Command-line interface mirroring `abismal {map, idx, sim}`
+(reference: src/abismal_main.cpp, src/abismal.cpp:2295-2504,
+src/abismalidx.cpp, src/simreads.cpp:442-619).
+
+Options accept single- or double-dash long names and the reference's short
+names.  The SAM @PG CL: header records argv exactly as the reference does
+(the subcommand plus its arguments).
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+
+
+class _DashArgumentParser(argparse.ArgumentParser):
+    """Accepts reference-style single-dash long options (-seed, -single)."""
+
+    def _get_option_tuples(self, option_string):
+        if option_string.startswith("-") and not option_string.startswith("--"):
+            alt = "--" + option_string[1:]
+            if alt in self._option_string_actions:
+                action = self._option_string_actions[alt]
+                return [(action, alt, None, None)]
+        return super()._get_option_tuples(option_string)
+
+    def parse_known_args(self, args=None, namespace=None):
+        if args is None:
+            args = sys.argv[1:]
+        args = [
+            ("--" + a[1:]) if (
+                len(a) > 2 and a.startswith("-") and not a.startswith("--")
+                and ("--" + a[1:]) in self._option_string_actions
+            ) else a
+            for a in args
+        ]
+        return super().parse_known_args(args, namespace)
+
+
+def _log(msg: str) -> None:
+    print(f"[{time.asctime()}] {msg}", file=sys.stderr)
+
+
+def cmd_idx(argv):
+    p = _DashArgumentParser(prog="abismal-tpu idx")
+    p.add_argument("-A", "--targets", default="")
+    p.add_argument("-t", "--threads", type=int, default=1)
+    p.add_argument("-v", "--verbose", action="store_true")
+    p.add_argument("genome_fasta")
+    p.add_argument("index_file")
+    a = p.parse_args(argv)
+
+    from .index.build import create_index, create_index_targets
+    from .index.serialize import write_index
+
+    if a.targets:
+        idx = create_index_targets(a.targets, a.genome_fasta,
+                                   verbose=a.verbose)
+    else:
+        idx = create_index(a.genome_fasta, verbose=a.verbose)
+    write_index(idx, a.index_file)
+    return 0
+
+
+def cmd_sim(argv):
+    p = _DashArgumentParser(prog="abismal-tpu sim")
+    p.add_argument("-o", "--out", required=True)
+    p.add_argument("--single", action="store_true")
+    p.add_argument("--loc", default="")
+    p.add_argument("-l", "--read-len", type=int, default=100)
+    p.add_argument("--min-fraglen", type=int, default=100)
+    p.add_argument("--max-fraglen", type=int, default=250)
+    p.add_argument("-n", "--n-reads", type=int, default=100)
+    p.add_argument("-m", "--mut", type=float, default=0.0)
+    p.add_argument("-b", "--bis", type=float, default=1.0)
+    p.add_argument("-c", "--changes", default="")
+    p.add_argument("-a", "--pbat", action="store_true")
+    p.add_argument("-R", "--random-pbat", action="store_true")
+    p.add_argument("-s", "--strand", default="b")
+    p.add_argument("--fasta", action="store_true")
+    p.add_argument("--seed", type=int, default=None)
+    p.add_argument("-v", "--verbose", action="store_true")
+    p.add_argument("genome_fasta")
+    a = p.parse_args(argv)
+
+    from .sim.simreads import SimConfig, simulate_reads
+
+    sub, ins, dele = 1.0, 1.0, 1.0
+    if a.changes:
+        parts = a.changes.split(",")
+        sub, ins, dele = (float(parts[0]), float(parts[1]), float(parts[2]))
+    seed = a.seed if a.seed is not None else int(time.time())
+    cfg = SimConfig(
+        output_prefix=a.out, n_reads=a.n_reads, read_length=a.read_len,
+        min_frag_len=a.min_fraglen, max_frag_len=a.max_fraglen,
+        mutation_rate=a.mut, substitution_rate=sub, insertion_rate=ins,
+        deletion_rate=dele, bs_conv=a.bis, strand=a.strand, pbat=a.pbat,
+        random_pbat=a.random_pbat, single_end=a.single, fasta_format=a.fasta,
+        locations_file=a.loc, seed=seed,
+    )
+    simulate_reads(a.genome_fasta, cfg)
+    return 0
+
+
+def cmd_map(argv):
+    p = _DashArgumentParser(prog="abismal-tpu map")
+    p.add_argument("-i", "--index", default="")
+    p.add_argument("-g", "--genome", default="")
+    p.add_argument("-o", "--outfile", required=True)
+    p.add_argument("-B", "--bam", action="store_true")
+    p.add_argument("-s", "--stats", default="")
+    p.add_argument("-j", "--json", action="store_true")
+    p.add_argument("-c", "--max-candidates", type=int, default=0)
+    p.add_argument("-l", "--min-frag", type=int, default=32)
+    p.add_argument("-L", "--max-frag", type=int, default=3000)
+    p.add_argument("-m", "--max-distance", type=float, default=0.1)
+    p.add_argument("-a", "--ambig", action="store_true")
+    p.add_argument("-P", "--pbat", action="store_true")
+    p.add_argument("-R", "--random-pbat", action="store_true")
+    p.add_argument("-A", "--a-rich", action="store_true")
+    p.add_argument("-t", "--threads", type=int, default=1)
+    p.add_argument("-v", "--verbose", action="store_true")
+    p.add_argument("--engine", choices=["exact", "tpu"], default="exact",
+                   help="mapping engine: exact host oracle or the TPU "
+                        "device pipeline")
+    p.add_argument("reads_files", nargs="+")
+    a = p.parse_args(argv)
+
+    if bool(a.index) == bool(a.genome):
+        print("Select one of index file (-i) or genome file (-g)",
+              file=sys.stderr)
+        return 0
+    if len(a.reads_files) > 2:
+        print("expected <reads-fq1> [<reads-fq2>]", file=sys.stderr)
+        return 0
+
+    from .index.serialize import read_index
+    from .map.engine import run_map
+
+    if a.index:
+        if a.verbose:
+            _log(f"loading index {a.index}")
+        index = read_index(a.index)
+    else:
+        if a.verbose:
+            _log(f"indexing genome {a.genome}")
+        from .index.build import create_index
+
+        index = create_index(a.genome)
+    if a.max_candidates:
+        index.max_candidates = a.max_candidates
+
+    command_line = "map " + " ".join(argv)
+    reads2 = a.reads_files[1] if len(a.reads_files) == 2 else None
+
+    engine_factory = None
+    if a.engine == "tpu":
+        from .map.pipeline import make_tpu_engine_factory
+
+        engine_factory = make_tpu_engine_factory()
+
+    run_map(
+        index, a.reads_files[0], reads2, a.outfile,
+        a.stats or None, command_line, a_rich=a.a_rich, pbat=a.pbat,
+        random_pbat=a.random_pbat, allow_ambig=a.ambig, stats_json=a.json,
+        valid_frac=a.max_distance, pe_min_dist=a.min_frag,
+        pe_max_dist=a.max_frag, engine_factory=engine_factory,
+    )
+    return 0
+
+
+def main(argv=None):
+    argv = sys.argv[1:] if argv is None else argv
+    if not argv:
+        print("Program: abismal-tpu\nUsage: abismal-tpu <command> [options]\n"
+              "Commands:\n    map:    map FASTQ reads to an index or a FASTA "
+              "reference genome\n    idx:    make an index for a FASTA "
+              "reference genome\n    sim:    simulate WGBS reads for a FASTA "
+              "reference genome")
+        return 0
+    cmd, rest = argv[0], argv[1:]
+    if cmd == "map":
+        return cmd_map(rest)
+    if cmd == "idx":
+        return cmd_idx(rest)
+    if cmd == "sim":
+        return cmd_sim(rest)
+    print(f"ERROR: invalid command {cmd}", file=sys.stderr)
+    return 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())

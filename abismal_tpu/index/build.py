@@ -189,8 +189,47 @@ def _sorted_bucket_fill(keys: np.ndarray, pos: np.ndarray, suffix_chunks,
     return counter, pos[order].astype(np.uint32)
 
 
-def create_index(genome_file: str, verbose: bool = False) -> AbismalIndex:
-    genome, cl = load_genome(genome_file)
+def load_target_regions(path: str):
+    """3-column BED-like target regions (AbismalIndex.cpp:83-108)."""
+    targets = []
+    with open(path) as f:
+        for line in f:
+            parts = line.split()
+            if not parts:
+                continue
+            if len(parts) < 3:
+                raise RuntimeError("failed parsing target region")
+            targets.append((parts[0], int(parts[1]), int(parts[2])))
+    return targets
+
+
+def sort_by_chrom(names, targets):
+    """Group targets by the genome's chromosome order, dropping targets on
+    unknown chromosomes; targets must be sorted within each chromosome
+    (AbismalIndex.cpp:183-204)."""
+    out = []
+    for name in names:
+        group = [t for t in targets if t[0] == name]
+        if group != sorted(group):
+            raise RuntimeError("target regions not sorted")
+        out.extend(group)
+    return out
+
+
+def mask_non_target(targets, genome: np.ndarray) -> None:
+    """Mask everything outside target regions to 'N'.  The reference's lazy
+    iterator advance keeps the closed interval [start, end] of each target
+    (one extra base at the end) -- reproduced here
+    (AbismalIndex.cpp:110-123)."""
+    keep = np.zeros(genome.shape[0], dtype=bool)
+    n = genome.shape[0]
+    for s, e in targets:
+        if e >= s:
+            keep[min(s, n) : min(e + 1, n)] = True
+    genome[~keep] = ord("N")
+
+
+def _build_from_genome(genome: np.ndarray, cl) -> "AbismalIndex":
     n = genome.shape[0]
 
     # clean: exclude long N runs, replace short ones (AbismalIndex.cpp:295-304)
@@ -260,3 +299,23 @@ def create_index(genome_file: str, verbose: bool = False) -> AbismalIndex:
         counter_t=counter_t, counter_a=counter_a, index=index,
         index_t=index_t, index_a=index_a, exclude=exclude,
     )
+
+
+def create_index(genome_file: str, verbose: bool = False) -> AbismalIndex:
+    """Standard index build (AbismalIndex.cpp:281-331)."""
+    genome, cl = load_genome(genome_file)
+    return _build_from_genome(genome, cl)
+
+
+def create_index_targets(targets_file: str, genome_file: str,
+                         verbose: bool = False) -> AbismalIndex:
+    """Target-capture index build: mask everything outside the target
+    regions before cleaning (AbismalIndex.cpp:206-279)."""
+    genome, cl = load_genome(genome_file)
+    raw = load_target_regions(targets_file)
+    ordered = sort_by_chrom(cl.names, raw)
+    flat = []
+    for chrom, s, e in ordered:
+        flat.append((cl.get_pos(chrom, s), cl.get_pos(chrom, e)))
+    mask_non_target(flat, genome)
+    return _build_from_genome(genome, cl)
