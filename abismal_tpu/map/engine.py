@@ -190,6 +190,16 @@ class MappingEngine:
         self.pe_max_dist = pe_max_dist
         self.aln = BandedAligner(self.view.nib)
 
+    # ---- hooks for accelerated engines (overridden by the TPU pipeline) ----
+    def _prepare_batch_se(self, reads, a_rich_mode, random_pbat):
+        pass
+
+    def _prepare_batch_pe(self, reads1, reads2, a_rich_mode, random_pbat):
+        pass
+
+    def _seeds(self, pread, packed, sc, res, key=None):
+        process_seeds(self.view, pread, packed, sc, res)
+
     # ------------------------------------------------------------------ SE
     def _format_se(self, best, cigar, name: str, read: bytes):
         """abismal.cpp:481-545.  Returns (map_type, sam_line_or_None)."""
@@ -222,11 +232,11 @@ class MappingEngine:
                      stats: SEStats, out):
         """One batch of (name, read); writes SAM lines to `out`
         (abismal.cpp:1511-1704)."""
-        view = self.view
+        self._prepare_batch_se(reads, a_rich_mode, random_pbat)
         max_len = max((len(r) for _, r in reads), default=0)
         self.aln.reset(max(max_len, 1))
         res = SECandidates()
-        for name, read in reads:
+        for ri, (name, read) in enumerate(reads):
             res.reset(len(read))
             best = [MAX_DIFFS_SENTINEL, 0, 0]
             cigar = []
@@ -235,13 +245,13 @@ class MappingEngine:
                     conv = a_rich_mode
                     pread = prep_read(read, conv)
                     packed = pack_read(pread)
-                    process_seeds(view, pread, packed,
-                                  strand_code("+", conv), res)
+                    self._seeds(pread, packed, strand_code("+", conv), res,
+                                (ri, "f", conv))
                     read_rc = revcomp_str(read.decode()).encode()
                     pread_rc = prep_read(read_rc, not conv)
                     packed_rc = pack_read(pread_rc)
-                    process_seeds(view, pread_rc, packed_rc,
-                                  strand_code("-", conv), res)
+                    self._seeds(pread_rc, packed_rc, strand_code("-", conv),
+                                res, (ri, "r", not conv))
                     best, cigar = align_se_candidates(
                         pread, pread_rc, pread, pread_rc, self.valid_frac,
                         res, self.aln,
@@ -249,18 +259,22 @@ class MappingEngine:
                 else:
                     # 4-way RPBAT orchestration (abismal.cpp:1602-1704)
                     pread_t = prep_read(read, False)
-                    process_seeds(view, pread_t, pack_read(pread_t),
-                                  strand_code("+", False), res)
+                    self._seeds(pread_t, pack_read(pread_t),
+                                strand_code("+", False), res,
+                                (ri, "f", False))
                     pread_a = prep_read(read, True)
-                    process_seeds(view, pread_a, pack_read(pread_a),
-                                  strand_code("+", True), res)
+                    self._seeds(pread_a, pack_read(pread_a),
+                                strand_code("+", True), res,
+                                (ri, "f", True))
                     read_rc = revcomp_str(read.decode()).encode()
                     pread_t_rc = prep_read(read_rc, False)
-                    process_seeds(view, pread_t_rc, pack_read(pread_t_rc),
-                                  strand_code("-", True), res)
+                    self._seeds(pread_t_rc, pack_read(pread_t_rc),
+                                strand_code("-", True), res,
+                                (ri, "r", False))
                     pread_a_rc = prep_read(read_rc, True)
-                    process_seeds(view, pread_a_rc, pack_read(pread_a_rc),
-                                  strand_code("-", False), res)
+                    self._seeds(pread_a_rc, pack_read(pread_a_rc),
+                                strand_code("-", False), res,
+                                (ri, "r", True))
                     best, cigar = align_se_candidates(
                         pread_t, pread_t_rc, pread_a, pread_a_rc,
                         self.valid_frac, res, self.aln,
@@ -382,7 +396,7 @@ class MappingEngine:
                        swap_ends: bool, sc1: int, sc2: int,
                        res1: PECandidates, res2: PECandidates, mem_scr1,
                        res_se1: SECandidates, res_se2: SECandidates,
-                       best: PEBest, cigars):
+                       best: PEBest, cigars, keys=(None, None)):
         """abismal.cpp:1849-1885.  Returns (success, pread1, pread2_rc);
         cigars is a 2-slot list updated when a new best pair is found."""
         res1.reset(len(read1))
@@ -392,11 +406,11 @@ class MappingEngine:
         pread1 = pread2 = None
         if read1:
             pread1 = prep_read(read1, conv_a_rich)
-            process_seeds(self.view, pread1, pack_read(pread1), sc1, res1)
+            self._seeds(pread1, pack_read(pread1), sc1, res1, keys[0])
         if read2:
             rc = revcomp_str(read2.decode()).encode()
             pread2 = prep_read(rc, conv_a_rich)
-            process_seeds(self.view, pread2, pack_read(pread2), sc2, res2)
+            self._seeds(pread2, pack_read(pread2), sc2, res2, keys[1])
         # select_maps (abismal.cpp:1833-1847); runs even when one read is
         # empty (that side's set holds only its sentinel, so the sweep
         # no-ops, but the sorting still affects best_single's input order)
@@ -471,7 +485,7 @@ class MappingEngine:
                 f"batch 2: {len(reads2)}. Are you sure your paired-end "
                 "inputs have the same number of reads?"
             )
-        view = self.view
+        self._prepare_batch_pe(reads1, reads2, a_rich_mode, random_pbat)
         max_len = max(
             max((len(r) for _, r in reads1), default=0),
             max((len(r) for _, r in reads2), default=0),
@@ -483,7 +497,8 @@ class MappingEngine:
         res_se1 = SECandidates()
         res_se2 = SECandidates()
 
-        for (name1, read1), (name2, read2) in zip(reads1, reads2):
+        for ri, ((name1, read1), (name2, read2)) in enumerate(
+                zip(reads1, reads2)):
             l1, l2 = len(read1), len(read2)
             res_se1.reset(l1)
             res_se2.reset(l2)
@@ -496,12 +511,14 @@ class MappingEngine:
                     read1, read2, conv, False,
                     strand_code("+", conv), strand_code("-", not conv),
                     res1, res2, mem_scr1, res_se1, res_se2, best, cigars,
+                    keys=((ri, 1, "f", conv), (ri, 2, "r", conv)),
                 )
                 ok_mp, pread2, pread1_rc = self._map_fragments(
                     read2, read1, not conv, True,
                     strand_code("+", not conv), strand_code("-", conv),
                     res2, res1, mem_scr1, res_se2, res_se1, best,
                     cigars_swapped(cigars),
+                    keys=((ri, 2, "f", not conv), (ri, 1, "r", not conv)),
                 )
                 preads1 = (pread1, pread1_rc, pread1, pread1_rc)
                 preads2 = (pread2, pread2_rc, pread2, pread2_rc)
@@ -512,23 +529,27 @@ class MappingEngine:
                     read1, read2, False, False,
                     strand_code("+", False), strand_code("-", True),
                     res1, res2, mem_scr1, res_se1, res_se2, best, cigars,
+                    keys=((ri, 1, "f", False), (ri, 2, "r", False)),
                 )
                 ok2, pread2_a, pread1_a_rc = self._map_fragments(
                     read2, read1, True, True,
                     strand_code("+", True), strand_code("-", False),
                     res2, res1, mem_scr1, res_se2, res_se1, best,
                     cigars_swapped(cigars),
+                    keys=((ri, 2, "f", True), (ri, 1, "r", True)),
                 )
                 ok3, pread1_a, pread2_a_rc = self._map_fragments(
                     read1, read2, True, False,
                     strand_code("+", True), strand_code("-", False),
                     res1, res2, mem_scr1, res_se1, res_se2, best, cigars,
+                    keys=((ri, 1, "f", True), (ri, 2, "r", True)),
                 )
                 ok4, pread2_t, pread1_t_rc = self._map_fragments(
                     read2, read1, False, True,
                     strand_code("+", False), strand_code("-", True),
                     res2, res1, mem_scr1, res_se2, res_se1, best,
                     cigars_swapped(cigars),
+                    keys=((ri, 2, "f", False), (ri, 1, "r", False)),
                 )
                 preads1 = (pread1_t, pread1_t_rc, pread1_a, pread1_a_rc)
                 preads2 = (pread2_t, pread2_t_rc, pread2_a, pread2_a_rc)

@@ -1,0 +1,71 @@
+"""Multi-chip execution: read-batch data parallelism over a device mesh.
+
+The reference scales by N identical worker threads pulling read batches from
+a shared queue (abismal.cpp:2187-2263).  The TPU-native equivalent shards
+the unit batch across a 1-D mesh axis ("data") with the index tables
+replicated in every chip's HBM; per-shard mapping statistics are reduced
+with psum, mirroring the reference's atomic counters.  Host I/O distributes
+FASTQ shards and gathers SAM output in global read order, which keeps output
+deterministic (the reference loses determinism at t>1).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+def make_mesh(n_devices: int | None = None):
+    import jax
+    from jax.sharding import Mesh
+
+    devs = jax.devices()
+    if n_devices is not None:
+        devs = devs[:n_devices]
+    return Mesh(np.array(devs), ("data",))
+
+
+def shard_stage1(stage1, mesh):
+    """Wraps a stage-1 callable in shard_map: unit-batch arrays sharded on
+    the mesh's data axis, index tables replicated, plus a psum'd event-count
+    reduction (the statistics collective)."""
+    import jax
+    from jax.sharding import PartitionSpec as P
+    from jax.experimental.shard_map import shard_map
+
+    rep = P()
+    sh = P("data")
+
+    def wrapped(tables, preads, packed, wmask, lens, is_ga, thr):
+        def inner(tables, preads, packed, wmask, lens, is_ga, thr):
+            ev_pos, ev_diffs, ev_rank, count, overflow = stage1(
+                *tables, preads, packed, wmask, lens, is_ga, thr
+            )
+            total_events = jax.lax.psum(count.sum(), "data")
+            return ev_pos, ev_diffs, ev_rank, count, overflow, total_events
+
+        return shard_map(
+            inner, mesh=mesh,
+            in_specs=(rep, sh, sh, sh, sh, sh, sh),
+            out_specs=(sh, sh, sh, sh, sh, rep),
+            check_rep=False,
+        )(tables, preads, packed, wmask, lens, is_ga, thr)
+
+    return jax.jit(wrapped)
+
+
+def replicate_tables(dev_index, mesh):
+    """Places the index tables with a replicated sharding over the mesh."""
+    import jax
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    rep = NamedSharding(mesh, P())
+    return tuple(jax.device_put(t, rep) for t in dev_index.tables())
+
+
+def shard_units(arrays, mesh):
+    """Places unit-batch arrays sharded along the data axis."""
+    import jax
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    sh = NamedSharding(mesh, P("data"))
+    return tuple(jax.device_put(a, sh) for a in arrays)

@@ -1,0 +1,93 @@
+"""Device-pipeline parity: the TPU engine (stage-1 candidate generation on
+the accelerator + host replay) must produce byte-identical output to the
+reference goldens.  Runs on the CPU backend in tests."""
+
+import gzip
+import os
+
+import pytest
+
+from tests.conftest import GOLDEN, golden_path
+
+
+def _read_golden(name: str) -> str:
+    with gzip.open(os.path.join(GOLDEN, name + ".gz"), "rt") as f:
+        return f.read()
+
+
+@pytest.mark.parametrize("prefix,paired,pbat", [
+    ("small", False, False),
+    ("small_pe", True, False),
+])
+def test_tpu_engine_parity(tmp_path, trex1_index, prefix, paired, pbat):
+    from abismal_tpu.map.engine import run_map
+    from abismal_tpu.map.pipeline import make_tpu_engine_factory
+
+    flag = "-P " if pbat else ""
+    fq1 = golden_path(prefix + "_1.fq")
+    fq2 = golden_path(prefix + "_2.fq") if paired else None
+    tail = (f"tests/{prefix}_1.fq tests/{prefix}_2.fq" if paired
+            else f"tests/{prefix}_1.fq")
+    cl = (f"map {flag}-s tests/{prefix}.mstats -o tests/{prefix}.sam "
+          f"-i tests/tRex1.idx {tail}")
+    sam = tmp_path / "out.sam"
+    mstats = tmp_path / "out.mstats"
+    run_map(trex1_index, fq1, fq2, str(sam), str(mstats), cl, pbat=pbat,
+            engine_factory=make_tpu_engine_factory())
+    assert sam.read_text() == _read_golden(prefix + ".sam")
+    assert mstats.read_text() == _read_golden(prefix + ".mstats")
+
+
+def test_stage1_events_match_oracle(trex1_index):
+    """Spot-check: device events replayed into a fresh candidate set give
+    the same state as the host oracle's process_seeds."""
+    import numpy as np
+
+    from abismal_tpu.map.candidates import SECandidates
+    from abismal_tpu.map.engine import strand_code
+    from abismal_tpu.map.pipeline import (
+        DeviceIndex, build_stage1, prepare_units, replay_events,
+    )
+    from abismal_tpu.map.seeds import (
+        SeedIndexView, get_conv_is_ga, pack_read, prep_read, process_seeds,
+    )
+
+    view = SeedIndexView(trex1_index)
+    dev = DeviceIndex(trex1_index)
+    stage1, o_spec = build_stage1(128, dev.max_candidates, dev.n_index3)
+
+    rng = np.random.default_rng(0)
+    # sample genuine genome substrings as fake reads
+    nib_to_char = np.frombuffer(b"ZACMGRSVTWYHKDBN", dtype=np.uint8)
+    reads = []
+    for _ in range(16):
+        p = int(rng.integers(40000, 900000))
+        seq = nib_to_char[view.nib[p : p + 100]].tobytes()
+        reads.append(seq.replace(b"Z", b"A"))
+
+    sc = strand_code("+", False)
+    units = [prep_read(r, False) for r in reads]
+    preads, packed, wmask, lens = prepare_units(units, 128)
+    is_ga = np.array([get_conv_is_ga(sc)] * len(units))
+    thr = ((2 * lens.astype(np.int64)) // 5).astype(np.int32)
+    ev_pos, ev_diffs, ev_rank, count, overflow = [
+        np.asarray(x)
+        for x in stage1(dev.genome32, dev.counter2, dev.counter3, dev.index2,
+                        dev.index3, preads, packed, wmask, lens, is_ga, thr)
+    ]
+
+    for i, r in enumerate(reads):
+        if overflow[i]:
+            continue
+        pread = prep_read(r, False)
+        res_a = SECandidates()
+        res_a.reset(len(r))
+        process_seeds(view, pread, pack_read(pread), sc, res_a)
+        res_b = SECandidates()
+        res_b.reset(len(r))
+        replay_events(res_b, sc, ev_pos[i], ev_diffs[i], ev_rank[i],
+                      int(count[i]), o_spec)
+        assert res_a.best == res_b.best
+        assert res_a.sz == res_b.sz
+        assert sorted(map(tuple, res_a.v[: res_a.sz])) == sorted(
+            map(tuple, res_b.v[: res_b.sz]))
