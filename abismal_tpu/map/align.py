@@ -56,25 +56,70 @@ def make_default_cigar(length: int):
 
 class BandedAligner:
     """Holds the score/traceback band for one thread of mapping
-    (AbismalAlign.hpp:104-148)."""
+    (AbismalAlign.hpp:104-148).  Uses the native implementation by default;
+    the pure-NumPy path below is the test oracle for it."""
 
-    def __init__(self, genome_nibbles: np.ndarray):
-        self.g = genome_nibbles
+    def __init__(self, genome_nibbles: np.ndarray, use_native: bool = True):
+        self.g = np.ascontiguousarray(genome_nibbles)
         self.bw = BANDWIDTH
         self.table = None
         self.traceback = None
         self.q_sz = 0
         self._bandwidth = 0
+        self.native = None
+        self._tb_result = None
+        if use_native:
+            from ..native import get_lib
+
+            self.native = get_lib()
+            self._scratch = None
+            self._cigar_buf = np.zeros(512, dtype=np.uint32)
 
     def reset(self, max_read_length: int) -> None:
         n_rows = max_read_length + self.bw
+        if self.native is not None:
+            self._scratch = np.zeros(n_rows * self.bw, dtype=np.int16)
+            self._tb_scratch = np.zeros(n_rows * self.bw, dtype=np.int8)
+            return
         self.table = np.zeros((n_rows, self.bw), dtype=np.int16)
         self.traceback = np.full((n_rows, self.bw), -1, dtype=np.int8)
+
+    def _align_native(self, diffs: int, max_diffs: int, qseq: np.ndarray,
+                      t_pos: int, do_traceback: bool) -> int:
+        q_sz = int(qseq.shape[0])
+        self.q_sz = q_sz
+        if diffs == 0:
+            self._tb_result = None
+            return best_single_score(q_sz)
+        bandwidth = min(self.bw, 2 * min(diffs, max_diffs) + 1)
+        q = np.ascontiguousarray(qseq)
+        if not do_traceback:
+            return int(self.native.banded_align_score(
+                self.g.ctypes.data, q.ctypes.data, q_sz, t_pos, bandwidth,
+                self._scratch.ctypes.data))
+        import ctypes
+
+        aln_len = ctypes.c_int64()
+        new_pos = ctypes.c_int64()
+        score = ctypes.c_int16()
+        n_ops = self.native.banded_align_traceback(
+            self.g.ctypes.data, q.ctypes.data, q_sz, t_pos, bandwidth,
+            self._scratch.ctypes.data, self._tb_scratch.ctypes.data,
+            self._cigar_buf.ctypes.data, ctypes.byref(aln_len),
+            ctypes.byref(new_pos), ctypes.byref(score))
+        self._tb_result = (
+            [int(x) for x in self._cigar_buf[:n_ops]], int(aln_len.value),
+            int(new_pos.value),
+        )
+        return int(score.value)
 
     def align(self, diffs: int, max_diffs: int, qseq: np.ndarray, t_pos: int,
               do_traceback: bool) -> int:
         """qseq: encoded read nibbles.  Returns the best local score
         (AbismalAlign.hpp:320-386)."""
+        if self.native is not None:
+            return self._align_native(diffs, max_diffs, qseq, t_pos,
+                                      do_traceback)
         q_sz = int(qseq.shape[0])
         self.q_sz = q_sz
         if diffs == 0:
@@ -143,6 +188,10 @@ class BandedAligner:
     def build_cigar_len_and_pos(self, diffs: int, max_diffs: int, t_pos: int):
         """Traceback -> (cigar list, aligned_len, new t_pos)
         (AbismalAlign.hpp:388-440)."""
+        if self.native is not None:
+            if diffs == 0 or self._tb_result is None:
+                return make_default_cigar(self.q_sz), self.q_sz, t_pos
+            return self._tb_result
         q_sz = self.q_sz
         bandwidth = min(self.bw, 2 * min(diffs, max_diffs) + 1)
         t_shift = q_sz + bandwidth

@@ -34,6 +34,7 @@ from ..constants import (
 
 SLOT = 128  # max candidates checked per (offset, table); > max_candidates
 CAP = 768  # event buffer per unit
+GCAP_PER_UNIT = 48  # global event stream budget per unit
 HASH3_MOD = 43046721  # 3^16
 
 _jax = None
@@ -76,58 +77,90 @@ def pack_genome_u32(genome_words_u64: np.ndarray, guard: int = 64):
 
 
 class DeviceIndex:
-    """Device-resident index tables (replicated per chip by default)."""
+    """Device-resident index tables (replicated per chip by default).
+    Position lists are concatenated as [two-letter | three-letter C->T |
+    three-letter G->A] so every candidate gather hits one array."""
 
     def __init__(self, index, device_put=None):
         jax, _ = _jm()
         put = device_put or jax.device_put
         self.genome32 = put(pack_genome_u32(index.genome_words))
         self.counter2 = put(index.counter.astype(np.int32))
-        # three-letter tables stacked [c_to_t | g_to_a]
+        # three-letter counter tables stacked [c_to_t | g_to_a]
         self.counter3 = put(np.concatenate(
             [index.counter_t, index.counter_a]).astype(np.int32))
-        self.index2 = put(np.ascontiguousarray(
-            index.index.astype(np.int32)
-            if index.index.shape[0] else np.zeros(1, np.int32)))
-        idx3 = np.concatenate([index.index_t, index.index_a]).astype(np.int32)
-        self.index3 = put(idx3 if idx3.shape[0] else np.zeros(2, np.int32))
+        index_all = np.concatenate(
+            [index.index, index.index_t, index.index_a]).astype(np.int32)
+        if index_all.shape[0] == 0:
+            index_all = np.zeros(1, np.int32)
+        self.index_all = put(index_all)
+        self.n_index2 = int(index.index.shape[0])
         self.n_index3 = int(index.index_t.shape[0])
         self.max_candidates = int(index.max_candidates)
 
     def tables(self):
-        return (self.genome32, self.counter2, self.counter3, self.index2,
-                self.index3)
+        return (self.genome32, self.counter2, self.counter3, self.index_all)
 
 
-def build_stage1(lmax: int, max_candidates: int, n_index3: int):
+def build_stage1(lmax: int, max_candidates: int, n_index2: int,
+                 n_index3: int):
     """Builds the jitted stage-1 function for a given padded read length.
+
+    v2 design -- offset-parallel, compaction before compare:
+      1. rolling hash keys and bucket ranges for ALL (unit, offset, table)
+         cells at once (no sequential scan over offsets);
+      2. binary-search seed extension vectorized across every cell that
+         needs it (rare; zero-iteration when no bucket exceeds
+         max_candidates);
+      3. per-cell candidate counts -> one global exclusive prefix sum ->
+         a dense global candidate list (work proportional to the REAL
+         number of candidates, not offsets x slots);
+      4. one popcount-compare pass over the global list using contiguous
+         window slice-gathers from the packed genome;
+      5. accepted events (diffs <= 0.4*len) compacted into a single small
+         global stream for the host replay.
+
     Memoized per parameter tuple so engines share one compilation."""
-    memo_key = (lmax, max_candidates, n_index3)
+    memo_key = (lmax, max_candidates, n_index2, n_index3)
     if memo_key in _stage1_memo:
         return _stage1_memo[memo_key]
     jax, jnp = _jm()
     o_spec = max(WINDOW_SIZE, lmax >> 1)
     o_sens = lmax - KEY_WEIGHT + 1
+    n_cells = (o_spec + o_sens) * 2
     n_words = 2 * ((lmax + 15) // 16)  # u32 words incl. the 0xF tail block
+    CELLCAP = SLOT  # max candidates per cell
+    CAND_PER_UNIT = 1024  # global candidate budget per unit
+
+    # static per-cell offset table in discovery-rank order:
+    # spec cells (i*2 + table), then sens cells ((o_spec+i)*2 + table)
+    cell_offs_np = np.zeros(n_cells, dtype=np.int32)
+    for i in range(o_spec):
+        cell_offs_np[2 * i] = i
+        cell_offs_np[2 * i + 1] = i
+    for i in range(o_sens):
+        cell_offs_np[2 * (o_spec + i)] = i
+        cell_offs_np[2 * (o_spec + i) + 1] = i
 
     def nib_at(genome32, pos):
         word = genome32[(pos >> np.uint32(3)).astype(jnp.int32)]
         return (word >> ((pos & np.uint32(7)) * np.uint32(4))) & np.uint32(0xF)
 
-    def stage1(genome32, counter2, counter3, index2, index3, preads, packed,
+    def stage1(genome32, counter2, counter3, index_all, preads, packed,
                wmask, lens, is_ga, thr):
-        """preads: (B, lmax+32) u8 zero-padded; packed: (B, n_words) u32
-        (0xF tail padding inside the read's word block, zeros beyond);
-        wmask: (B, n_words) i32 validity of each word; lens: (B,) i32;
-        is_ga: (B,) bool three-letter conversion; thr: (B,) i32 emission
-        threshold floor(0.4*len).
+        """preads: (B, lmax+32) u8 zero-padded; packed: (B, n_words) u32;
+        wmask: (B, n_words) i32; lens: (B,) i32; is_ga: (B,) bool; thr:
+        (B,) i32 = floor(0.4*len).
 
-        Returns (ev_pos, ev_diffs, ev_rank) as (B, CAP) arrays in discovery
-        order, ev_count (B,), overflow (B,) bool."""
+        Returns (gpos, gmeta, count, overflow): a global event stream
+        (u32 positions and diffs<<25|rank), per-unit event counts, and
+        per-unit host-fallback flags."""
         B = preads.shape[0]
+        gcap = B * GCAP_PER_UNIT
+        gflat = B * CAND_PER_UNIT
         ip = preads.astype(jnp.int32)
 
-        # rolling hashes for every offset (AbismalIndex.hpp:271-305)
+        # --- rolling hashes for every offset (AbismalIndex.hpp:271-305) ---
         bits = ((ip & 5) == 0).astype(jnp.uint32)
         k2_all = jnp.zeros((B, o_sens), dtype=jnp.uint32)
         for j in range(KEY_WEIGHT):
@@ -141,39 +174,109 @@ def build_stage1(lmax: int, max_candidates: int, n_index3: int):
             k3a = k3a * 3 + tga[:, j : j + o_sens]
         k3_all = jnp.where(is_ga[:, None], k3a % HASH3_MOD, k3t % HASH3_MOD)
 
-        # flat per-lane read symbol arrays for the extension searches
-        stride = preads.shape[1]
-        lane_base = jnp.arange(B, dtype=jnp.int32) * stride
-        flat_bits = bits.reshape(-1)
-        flat_sym = jnp.where(
-            is_ga[:, None], (ip & 10), (ip & 5)
-        ).astype(jnp.uint32).reshape(-1)
-
         specific_len = jnp.minimum(lens - WINDOW_SIZE, lens >> 1)
         specific_lim = jnp.where(
             lens > 0, jnp.maximum(WINDOW_SIZE, lens >> 1), 0)
         sens_lim = lens - KEY_WEIGHT + 1
-        idx3_base = is_ga.astype(jnp.int32) * n_index3
+        base3 = n_index2 + is_ga.astype(jnp.int32) * n_index3  # into index_all
         c3_base = is_ga.astype(jnp.int32) * (counter3.shape[0] // 2)
-        sym_mask3 = jnp.where(is_ga, np.uint32(10), np.uint32(5))
-        v1_3 = jnp.where(is_ga, 2, 1).astype(jnp.uint32)
-        v2_3 = jnp.where(is_ga, 8, 4).astype(jnp.uint32)
 
-        slots = jnp.arange(SLOT, dtype=jnp.int32)[None, :]
+        # --- bucket ranges for all cells, fully parallel ---
+        iof = jnp.arange(o_spec, dtype=jnp.int32)[None, :]
+        act_sp = iof < specific_lim[:, None]
+        k2s = jnp.where(act_sp, k2_all[:, :o_spec], 0).astype(jnp.int32)
+        s2 = jnp.where(act_sp, counter2[k2s], 0)
+        e2 = jnp.where(act_sp, counter2[k2s + 1], 0)
+        k3s = (jnp.where(act_sp, k3_all[:, :o_spec], 0).astype(jnp.int32)
+               + c3_base[:, None])
+        s3 = jnp.where(act_sp, counter3[k3s], 0)
+        e3 = jnp.where(act_sp, counter3[k3s + 1], 0)
 
-        def extend_two(offs_i, read_lim, lo, hi):
-            """find_candidates (abismal.cpp:1163-1194), all lanes."""
+        # --- vectorized seed extension over (B * o_spec) lanes ---
+        stride = preads.shape[1]
+        flat_bits = bits.reshape(-1)
+        flat_sym = jnp.where(
+            is_ga[:, None], (ip & 10), (ip & 5)).astype(jnp.uint32).reshape(-1)
+        lane_b = jnp.repeat(jnp.arange(B, dtype=jnp.int32), o_spec)
+        lane_off = jnp.tile(jnp.arange(o_spec, dtype=jnp.int32), B)
+        lane_base = lane_b * stride
+        lane_read_lim = lens[lane_b] - lane_off
+        p_cap = stride - 1
 
-            p_cap = stride - 1 - 0  # symbol reads must stay inside padding
+        def extend(lo, hi, p0, is_three):
+            lane_is_ga = is_ga[lane_b]
+            sym_mask = jnp.where(lane_is_ga, np.uint32(10), np.uint32(5))
+            v1 = jnp.where(lane_is_ga, 2, 1).astype(jnp.uint32)
+            v2 = jnp.where(lane_is_ga, 8, 4).astype(jnp.uint32)
+            lane_idx_base = base3[lane_b] if is_three else 0
 
             def cond(state):
                 p, lo, hi, plo, phi = state
-                return jnp.any((p != read_lim) & (offs_i + p < p_cap)
+                return jnp.any((p != lane_read_lim)
+                               & (lane_off + p < p_cap)
                                & ((hi - lo) > max_candidates))
 
             def body(state):
                 p, lo, hi, plo, phi = state
-                act = ((p != read_lim) & (offs_i + p < p_cap)
+                act = ((p != lane_read_lim) & (lane_off + p < p_cap)
+                       & ((hi - lo) > max_candidates))
+                plo = jnp.where(act, lo, plo)
+                phi = jnp.where(act, hi, phi)
+                pp = p.astype(jnp.uint32)
+
+                def lb(val, mask):
+                    def ibody(_, ab):
+                        a, b = ab
+                        mid = (a + b) >> 1
+                        g = nib_at(
+                            genome32,
+                            index_all[lane_idx_base + mid].astype(jnp.uint32)
+                            + pp)
+                        less = (g & mask) < val
+                        cont = a < b
+                        a = jnp.where(cont & less, mid + 1, a)
+                        b = jnp.where(cont & ~less, mid, b)
+                        return a, b
+
+                    a, _ = jax.lax.fori_loop(0, 31, ibody, (lo, hi))
+                    return a
+
+                if is_three:
+                    first1 = lb(v1, sym_mask)
+                    first2 = lb(v2, sym_mask)
+                    num = flat_sym[lane_base + lane_off + p]
+                    nhi = jnp.where(num == 0, first1,
+                                    jnp.where(num == v1, first2, hi))
+                    nlo = jnp.where(num == 0, lo,
+                                    jnp.where(num == v1, first1, first2))
+                else:
+                    first1 = lb(jnp.ones_like(v1), None)
+                    rbit = flat_bits[lane_base + lane_off + p]
+                    nlo = jnp.where(rbit == 1, first1, lo)
+                    nhi = jnp.where(rbit == 1, hi, first1)
+                lo = jnp.where(act, nlo, lo)
+                hi = jnp.where(act, nhi, hi)
+                p = jnp.where(act, p + 1, p)
+                return p, lo, hi, plo, phi
+
+            p_init = jnp.full_like(lo, p0)
+            p, lo, hi, plo, phi = jax.lax.while_loop(
+                cond, body, (p_init, lo, hi, lo, hi))
+            empty = lo == hi
+            return (jnp.where(empty, p - 1, p), jnp.where(empty, plo, lo),
+                    jnp.where(empty, phi, hi))
+
+        # two-letter lower_bound compares get_bit(nib) < 1, i.e. nib & 5 != 0
+        def extend_two(lo, hi):
+            def cond(state):
+                p, lo, hi, plo, phi = state
+                return jnp.any((p != lane_read_lim)
+                               & (lane_off + p < p_cap)
+                               & ((hi - lo) > max_candidates))
+
+            def body(state):
+                p, lo, hi, plo, phi = state
+                act = ((p != lane_read_lim) & (lane_off + p < p_cap)
                        & ((hi - lo) > max_candidates))
                 plo = jnp.where(act, lo, plo)
                 phi = jnp.where(act, hi, phi)
@@ -183,7 +286,7 @@ def build_stage1(lmax: int, max_candidates: int, n_index3: int):
                     a, b = ab
                     mid = (a + b) >> 1
                     nib = nib_at(genome32,
-                                 index2[mid].astype(jnp.uint32) + pp)
+                                 index_all[mid].astype(jnp.uint32) + pp)
                     gbit = ((nib & 5) == 0).astype(jnp.uint32)
                     cont = a < b
                     a = jnp.where(cont & (gbit < 1), mid + 1, a)
@@ -191,182 +294,143 @@ def build_stage1(lmax: int, max_candidates: int, n_index3: int):
                     return a, b
 
                 first1, _ = jax.lax.fori_loop(0, 31, ibody, (lo, hi))
-                rbit = flat_bits[lane_base + offs_i + p]
-                lo = jnp.where(act, jnp.where(rbit == 1, first1, lo), lo)
-                hi = jnp.where(act, jnp.where(rbit == 1, hi, first1), hi)
-                p = jnp.where(act, p + 1, p)
-                return p, lo, hi, plo, phi
-
-            p0 = jnp.full_like(lo, KEY_WEIGHT)
-            p, lo, hi, plo, phi = jax.lax.while_loop(
-                cond, body, (p0, lo, hi, lo, hi))
-            empty = lo == hi
-            return (jnp.where(empty, p - 1, p), jnp.where(empty, plo, lo),
-                    jnp.where(empty, phi, hi))
-
-        def extend_three(offs_i, read_lim, lo, hi):
-            """find_candidates_three (abismal.cpp:1214-1259).  lo/hi are
-            local to the lane's table; index3 lookups add idx3_base."""
-
-            p_cap = stride - 1
-
-            def cond(state):
-                p, lo, hi, plo, phi = state
-                return jnp.any((p != read_lim) & (offs_i + p < p_cap)
-                               & ((hi - lo) > max_candidates))
-
-            def body(state):
-                p, lo, hi, plo, phi = state
-                act = ((p != read_lim) & (offs_i + p < p_cap)
-                       & ((hi - lo) > max_candidates))
-                plo = jnp.where(act, lo, plo)
-                phi = jnp.where(act, hi, phi)
-                pp = p.astype(jnp.uint32)
-
-                def lb(val):
-                    def ibody(_, ab):
-                        a, b = ab
-                        mid = (a + b) >> 1
-                        nib = nib_at(
-                            genome32,
-                            index3[idx3_base + mid].astype(jnp.uint32) + pp,
-                        )
-                        less = (nib & sym_mask3) < val
-                        cont = a < b
-                        a = jnp.where(cont & less, mid + 1, a)
-                        b = jnp.where(cont & ~less, mid, b)
-                        return a, b
-
-                    a, _ = jax.lax.fori_loop(0, 31, ibody, (lo, hi))
-                    return a
-
-                first1 = lb(v1_3)
-                first2 = lb(v2_3)
-                num = flat_sym[lane_base + offs_i + p]
-                nhi = jnp.where(num == 0, first1,
-                                jnp.where(num == v1_3, first2, hi))
-                nlo = jnp.where(num == 0, lo,
-                                jnp.where(num == v1_3, first1, first2))
+                rbit = flat_bits[lane_base + lane_off + p]
+                nlo = jnp.where(rbit == 1, first1, lo)
+                nhi = jnp.where(rbit == 1, hi, first1)
                 lo = jnp.where(act, nlo, lo)
                 hi = jnp.where(act, nhi, hi)
                 p = jnp.where(act, p + 1, p)
                 return p, lo, hi, plo, phi
 
-            p0 = jnp.full_like(lo, KEY_WEIGHT_THREE)
+            p_init = jnp.full_like(lo, KEY_WEIGHT)
             p, lo, hi, plo, phi = jax.lax.while_loop(
-                cond, body, (p0, lo, hi, lo, hi))
+                cond, body, (p_init, lo, hi, lo, hi))
             empty = lo == hi
             return (jnp.where(empty, p - 1, p), jnp.where(empty, plo, lo),
                     jnp.where(empty, phi, hi))
 
-        def compare(pos, valid):
-            """Popcount Hamming distance (abismal.cpp:1105-1122)."""
-            pos = jnp.where(valid, pos, 0)
-            w = (pos >> np.uint32(3)).astype(jnp.int32)
-            sh = ((pos & np.uint32(7)) * np.uint32(4))
-            d = jnp.zeros(pos.shape, dtype=jnp.int32)
-            for j in range(n_words):
-                g1 = genome32[w + j]
-                g2 = genome32[w + j + 1]
-                window = (g1 >> sh) | ((g2 << (np.uint32(31) - sh)) << 1)
-                m = jax.lax.population_count(packed[:, j : j + 1] & window)
-                d = d + wmask[:, j : j + 1] * (8 - m.astype(jnp.int32))
-            return d
+        l2, s2x, e2x = extend_two(s2.reshape(-1), e2.reshape(-1))
+        l2 = l2.reshape(B, o_spec)
+        s2x = s2x.reshape(B, o_spec)
+        e2x = e2x.reshape(B, o_spec)
+        l3, s3x, e3x = extend(s3.reshape(-1), e3.reshape(-1),
+                              KEY_WEIGHT_THREE, True)
+        l3 = l3.reshape(B, o_spec)
+        s3x = s3x.reshape(B, o_spec)
+        e3x = e3x.reshape(B, o_spec)
 
-        def gather_check(index_arr, lo, hi, base, i, check):
-            cand = lo[:, None] + slots
-            valid = (cand < hi[:, None]) & check[:, None]
-            cand = jnp.where(valid, cand + base[:, None], 0)
-            pos = index_arr[cand].astype(jnp.uint32) - i.astype(jnp.uint32)
-            diffs = compare(pos, valid)
-            accept = valid & (diffs <= thr[:, None])
-            return pos, diffs, accept
+        d2 = e2x - s2x
+        d3 = e3x - s3x
+        check2_sp = act_sp & ((d2 <= max_candidates)
+                              | (l2 >= specific_len[:, None]))
+        check3_sp = act_sp & ((d3 <= max_candidates)
+                              | (l3 >= specific_len[:, None]))
 
-        def append(carry, pos, diffs, accept, rank_base):
-            ev_pos, ev_diffs, ev_rank, count, overflow = carry
-            acc = accept.astype(jnp.int32)
-            prefix = jnp.cumsum(acc, axis=1) - acc
-            dest = count[:, None] + prefix
-            ok = accept & (dest < CAP)
-            overflow = overflow | jnp.any(accept & (dest >= CAP), axis=1)
-            dest_c = jnp.where(ok, dest, CAP)  # CAP is a trash column
-            bidx = jnp.broadcast_to(
-                jnp.arange(B, dtype=jnp.int32)[:, None], dest_c.shape)
-            ev_pos = ev_pos.at[bidx, dest_c].set(pos)
-            ev_diffs = ev_diffs.at[bidx, dest_c].set(diffs)
-            ev_rank = ev_rank.at[bidx, dest_c].set(rank_base[:, None] + slots)
-            count = count + jnp.sum(acc, axis=1)
-            return ev_pos, ev_diffs, ev_rank, count, overflow
+        # --- sensitive-phase cells (no extension) ---
+        jof = jnp.arange(o_sens, dtype=jnp.int32)[None, :]
+        act_sn = (jof < sens_lim[:, None]) & (lens[:, None] > 0)
+        k2n = jnp.where(act_sn, k2_all, 0).astype(jnp.int32)
+        s2n = jnp.where(act_sn, counter2[k2n], 0)
+        e2n = jnp.where(act_sn, counter2[k2n + 1], 0)
+        d2n = e2n - s2n
+        k3n = (jnp.where(act_sn, k3_all, 0).astype(jnp.int32)
+               + c3_base[:, None])
+        s3n = jnp.where(act_sn, counter3[k3n], 0)
+        e3n = jnp.where(act_sn, counter3[k3n + 1], 0)
+        d3n = e3n - s3n
+        check2_sn = act_sn & (d2n != 0) & (d2n <= max_candidates) & (
+            (d3n == 0) | (d2n <= MIN_FOLD_SIZE * d3n))
+        check3_sn = act_sn & (d3n != 0) & (d3n <= max_candidates)
 
-        zero_base = jnp.zeros((B,), dtype=jnp.int32)
+        # --- per-cell counts and global start offsets, rank order ---
+        def interleave(a, b):
+            return jnp.stack([a, b], axis=2).reshape(B, -1)
 
-        def spec_step(i, carry):
-            active = i < specific_lim
-            read_lim = lens - i
-            k2 = jnp.where(active, k2_all[:, i], 0).astype(jnp.int32)
-            s2 = jnp.where(active, counter2[k2], 0)
-            e2 = jnp.where(active, counter2[k2 + 1], 0)
-            l2, s2x, e2x = extend_two(i, read_lim, s2, e2)
-            d2 = e2x - s2x
-            check2 = active & ((d2 <= max_candidates) | (l2 >= specific_len))
+        cnt_sp = interleave(jnp.where(check2_sp, d2, 0),
+                            jnp.where(check3_sp, d3, 0))
+        cnt_sn = interleave(jnp.where(check2_sn, d2n, 0),
+                            jnp.where(check3_sn, d3n, 0))
+        cnt_cells = jnp.concatenate([cnt_sp, cnt_sn], axis=1)
+        overflow = jnp.any(cnt_cells > CELLCAP, axis=1)
+        cnt_cells = jnp.minimum(cnt_cells, CELLCAP)
 
-            k3 = jnp.where(active, k3_all[:, i], 0).astype(jnp.int32) + c3_base
-            s3 = jnp.where(active, counter3[k3], 0)
-            e3 = jnp.where(active, counter3[k3 + 1], 0)
-            l3, s3x, e3x = extend_three(i, read_lim, s3, e3)
-            d3 = e3x - s3x
-            check3 = active & ((d3 <= max_candidates) | (l3 >= specific_len))
+        lo_sp = interleave(s2x, base3[:, None] + s3x)
+        lo_sn = interleave(s2n, base3[:, None] + s3n)
+        lo_cells = jnp.concatenate([lo_sp, lo_sn], axis=1)
 
-            pos2, diffs2, acc2 = gather_check(index2, s2x, e2x, zero_base, i,
-                                              check2)
-            carry = append(carry, pos2, diffs2, acc2,
-                           jnp.full((B,), (i * 2 + 0) * SLOT, jnp.int32))
-            pos3, diffs3, acc3 = gather_check(index3, s3x, e3x, idx3_base, i,
-                                              check3)
-            carry = append(carry, pos3, diffs3, acc3,
-                           jnp.full((B,), (i * 2 + 1) * SLOT, jnp.int32))
-            ev_pos, ev_diffs, ev_rank, count, overflow = carry
-            overflow = overflow | (check2 & (d2 > SLOT)) | (check3 &
-                                                            (d3 > SLOT))
-            return ev_pos, ev_diffs, ev_rank, count, overflow
+        cell_offs = jnp.asarray(cell_offs_np)
 
-        def sens_step(i, carry):
-            active = i < sens_lim
-            k2 = jnp.where(active, k2_all[:, i], 0).astype(jnp.int32)
-            s2, e2 = counter2[k2], counter2[k2 + 1]
-            d2 = e2 - s2
-            k3 = jnp.where(active, k3_all[:, i], 0).astype(jnp.int32) + c3_base
-            s3, e3 = counter3[k3], counter3[k3 + 1]
-            d3 = e3 - s3
-            check2 = active & (d2 != 0) & (d2 <= max_candidates) & (
-                (d3 == 0) | (d2 <= MIN_FOLD_SIZE * d3))
-            check3 = active & (d3 != 0) & (d3 <= max_candidates)
+        # --- global candidate list via prefix sums ---
+        cnt_flat = cnt_cells.reshape(-1)
+        inc = jnp.cumsum(cnt_flat)
+        total = inc[-1]
+        unit_total = jnp.sum(cnt_cells, axis=1)
+        unit_start = jnp.cumsum(unit_total) - unit_total
+        overflow = overflow | (unit_start + unit_total > gflat)
 
-            rb = (o_spec + i) * 2 * SLOT
-            pos2, diffs2, acc2 = gather_check(index2, s2, e2, zero_base, i,
-                                              check2)
-            carry = append(carry, pos2, diffs2, acc2,
-                           jnp.full((B,), rb, jnp.int32))
-            pos3, diffs3, acc3 = gather_check(index3, s3, e3, idx3_base, i,
-                                              check3)
-            carry = append(carry, pos3, diffs3, acc3,
-                           jnp.full((B,), rb + SLOT, jnp.int32))
-            return carry
+        # candidate -> cell mapping via scatter + running max (cheaper on
+        # TPU than a binary search per candidate)
+        f = jnp.arange(gflat, dtype=jnp.int32)
+        starts = inc - cnt_flat  # exclusive prefix, (B*n_cells,)
+        gid_vals = jnp.arange(B * n_cells, dtype=jnp.int32)
+        mark_idx = jnp.where(cnt_flat > 0, starts, gflat)
+        cellmark = jnp.zeros(gflat + 1, dtype=jnp.int32).at[mark_idx].max(
+            gid_vals)
+        cell_gid = jax.lax.associative_scan(jnp.maximum, cellmark[:gflat])
+        b_of = cell_gid // n_cells
+        cell_of = cell_gid % n_cells
+        slot = f - starts[cell_gid]
+        valid = f < total
+        lo_flat = lo_cells.reshape(-1)[cell_gid]
+        pos = (index_all[jnp.where(valid, lo_flat + slot, 0)]
+               .astype(jnp.uint32) - cell_offs[cell_of].astype(jnp.uint32))
+        pos = jnp.where(valid, pos, 0)
 
-        ev_pos = jnp.zeros((B, CAP + 1), dtype=jnp.uint32)
-        ev_diffs = jnp.zeros((B, CAP + 1), dtype=jnp.int32)
-        ev_rank = jnp.zeros((B, CAP + 1), dtype=jnp.int32)
-        count = jnp.zeros((B,), dtype=jnp.int32)
-        overflow = jnp.zeros((B,), dtype=bool)
-        carry = (ev_pos, ev_diffs, ev_rank, count, overflow)
-        carry = jax.lax.fori_loop(0, o_spec, spec_step, carry)
-        carry = jax.lax.fori_loop(0, o_sens, sens_step, carry)
-        ev_pos, ev_diffs, ev_rank, count, overflow = carry
-        # short reads (< 49 bp) can drive the reference's extension past the
+        # --- popcount compare over contiguous genome windows ---
+        w = (pos >> np.uint32(3)).astype(jnp.int32)
+        sh = (pos & np.uint32(7)) * np.uint32(4)
+        win = genome32[w[:, None]
+                       + jnp.arange(n_words + 1, dtype=jnp.int32)[None, :]]
+        packed_rows = packed[b_of]
+        wmask_rows = wmask[b_of]
+        d = jnp.zeros((gflat,), dtype=jnp.int32)
+        for j in range(n_words):
+            window = (win[:, j] >> sh) | ((win[:, j + 1]
+                                           << (np.uint32(31) - sh)) << 1)
+            m = jax.lax.population_count(packed_rows[:, j] & window)
+            d = d + wmask_rows[:, j] * (8 - m.astype(jnp.int32))
+
+        accept = valid & (d <= thr[b_of])
+
+        # --- compact accepted events into the global stream ---
+        acc = accept.astype(jnp.int32)
+        gdest = jnp.cumsum(acc) - acc
+        ok = accept & (gdest < gcap)
+        dropped = jnp.zeros(B, dtype=jnp.int32).at[b_of].max(
+            (accept & (gdest >= gcap)).astype(jnp.int32))
+        overflow = overflow | (dropped > 0)
+        gdest_c = jnp.where(ok, gdest, gcap)
+        rank = cell_of * SLOT + slot
+        meta = (d.astype(jnp.uint32) << 25) | rank.astype(jnp.uint32)
+        gpos = jnp.zeros(gcap + 1, dtype=jnp.uint32).at[gdest_c].set(pos)
+        gmeta = jnp.zeros(gcap + 1, dtype=jnp.uint32).at[gdest_c].set(
+            jnp.where(ok, meta, 0))
+        # per-unit accepted-event counts from the accept prefix sums
+        acc_inc = gdest + acc  # inclusive cumsum of acc
+        acc_at = jnp.concatenate([jnp.zeros(1, jnp.int32), acc_inc])
+        ustart = jnp.minimum(unit_start, gflat)
+        uend = jnp.minimum(unit_start + unit_total, gflat)
+        count = acc_at[uend] - acc_at[ustart]
+
+        # short reads (< 49 bp) can drive the reference extension past the
         # read end (UB upstream); route them to the host path
         overflow = overflow | ((lens > 0) & (lens < 49))
-        return (ev_pos[:, :CAP], ev_diffs[:, :CAP], ev_rank[:, :CAP],
-                jnp.minimum(count, CAP), overflow)
+        # two transfer-friendly outputs: the event stream and per-unit
+        # count|overflow flags (the device->host link prefers few small
+        # messages)
+        ev = jnp.stack([gpos[:gcap], gmeta[:gcap]])
+        cf = count | (overflow.astype(jnp.int32) << 30)
+        return ev, cf
 
     result = (jax.jit(stage1), o_spec)
     _stage1_memo[memo_key] = result
@@ -425,7 +489,8 @@ class TpuMappingEngine(MappingEngine):
         self.unit_batch = unit_batch
         self.dev = DeviceIndex(index, device_put)
         self.stage1, self.o_spec = build_stage1(
-            lmax, self.dev.max_candidates, self.dev.n_index3
+            lmax, self.dev.max_candidates, self.dev.n_index2,
+            self.dev.n_index3
         )
         self._cache = {}
         self.n_fallback = 0
@@ -440,6 +505,7 @@ class TpuMappingEngine(MappingEngine):
             return
         jax, _ = _jm()
         B = self.unit_batch
+        pending = []  # (chunk, device outputs) -- dispatch all, pull later
         for start in range(0, len(units), B):
             chunk = units[start : start + B]
             reads = [u[1] for u in chunk]
@@ -464,20 +530,27 @@ class TpuMappingEngine(MappingEngine):
             for i, u in enumerate(chunk):
                 is_ga[i] = u[2]
             thr = ((2 * lens.astype(np.int64)) // 5).astype(np.int32)
-            ev_pos, ev_diffs, ev_rank, count, overflow = [
-                np.asarray(x) for x in self.stage1(
-                    *self.dev.tables(), preads, packed, wmask, lens, is_ga,
-                    thr)
-            ]
+            pending.append((chunk, self.stage1(
+                *self.dev.tables(), preads, packed, wmask, lens, is_ga, thr)))
+
+        for chunk, (ev_dev, cf_dev) in pending:
+            ev = np.asarray(ev_dev)
+            cf = np.asarray(cf_dev)
+            count = cf & 0x3FFFFFFF
+            overflow = (cf >> 30) != 0
+            gpos, gmeta = ev[0], ev[1]
+            prefix = np.concatenate(([0], np.cumsum(count)))
+            diffs_all = (gmeta >> 25).astype(np.int32)
+            rank_all = (gmeta & 0x1FFFFFF).astype(np.int32)
             for i, u in enumerate(chunk):
                 self.n_units += 1
                 if overflow[i]:
                     self.n_fallback += 1
                     self._cache[u[0]] = None
                 else:
-                    c = int(count[i])
+                    s, e = int(prefix[i]), int(prefix[i + 1])
                     self._cache[u[0]] = (
-                        ev_pos[i, :c], ev_diffs[i, :c], ev_rank[i, :c], c
+                        gpos[s:e], diffs_all[s:e], rank_all[s:e], e - s
                     )
 
     def _prepare_batch_se(self, reads, a_rich_mode, random_pbat):

@@ -47,6 +47,22 @@ def get_lib() -> ctypes.CDLL:
             ctypes.c_void_p,  # keep out
         ]
 
+        lib.banded_align_score.restype = ctypes.c_int16
+        lib.banded_align_score.argtypes = [
+            ctypes.c_void_p, ctypes.c_void_p,  # genome nibbles, query
+            ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,  # q_sz, pos, bw
+            ctypes.c_void_p,  # scratch
+        ]
+
+        lib.banded_align_traceback.restype = ctypes.c_int64
+        lib.banded_align_traceback.argtypes = [
+            ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+            ctypes.c_void_p, ctypes.c_void_p,  # scratch, tb scratch
+            ctypes.c_void_p,  # cigar out
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,  # len/pos/score
+        ]
+
         lib.simreads_native.restype = ctypes.c_int
         lib.simreads_native.argtypes = [
             ctypes.c_void_p, ctypes.c_int64,  # genome, size

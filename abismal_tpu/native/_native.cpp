@@ -168,6 +168,169 @@ compress_dp_blocks(const uint8_t *nib,    // genome nibbles, full length
 }
 
 // ---------------------------------------------------------------------------
+// Banded local alignment (score-only and with traceback), equivalent to the
+// reference's AbismalAlign (src/AbismalAlign.hpp:320-440): int16 scores,
+// zero floor, band rows of width `bandwidth` stored flat with stride
+// `bandwidth`, three update moves applied in order diagonal / from-above /
+// from-left with from-left reading already-updated cells, traceback symbols
+// overwritten on score ties in that same order.
+// ---------------------------------------------------------------------------
+
+namespace {
+const int16_t ALN_MATCH = 2;
+const int16_t ALN_MISMATCH = -3;
+const int16_t ALN_INDEL = -4;
+const int8_t OP_M = 0;
+const int8_t OP_I = 1;
+const int8_t OP_D = 2;
+const int8_t OP_S = 4;
+}  // namespace
+
+extern "C++" {
+
+static int16_t
+banded_align_impl(const uint8_t *gnib, const uint8_t *q, const int64_t q_sz,
+                  const int64_t t_pos, const int64_t bw, int16_t *table,
+                  int8_t *tb, const bool do_tb) {
+  const int64_t t_shift = q_sz + bw;
+  const int64_t n_cells = t_shift * bw;
+  std::memset(table, 0, n_cells * sizeof(int16_t));
+  if (do_tb)
+    std::memset(tb, -1, n_cells);
+
+  const int64_t t_beg = t_pos - ((bw - 1) / 2);
+  const uint8_t *t_itr = gnib + t_beg;
+
+  for (int64_t i = 1; i < t_shift; ++i) {
+    const int64_t left = (i < bw) ? bw - i : 0;
+    const int64_t right = std::min<int64_t>(bw, t_shift - i);
+    int16_t *cur = table + i * bw;
+    const int16_t *prev = cur - bw;
+    int8_t *trow = do_tb ? tb + i * bw : nullptr;
+    const uint8_t ref_base = t_itr[i - 1];
+    const int64_t q0 = i - bw;
+    // diagonal
+    for (int64_t j = left; j < right; ++j) {
+      const int16_t sub = (q[q0 + j] & ref_base) ? ALN_MATCH : ALN_MISMATCH;
+      const int16_t score = static_cast<int16_t>(prev[j] + sub);
+      if (score > cur[j])
+        cur[j] = score;
+      if (do_tb && cur[j] == score)
+        trow[j] = OP_M;
+    }
+    // from above (deletion)
+    for (int64_t j = left; j + 1 < right; ++j) {
+      const int16_t score = static_cast<int16_t>(prev[j + 1] + ALN_INDEL);
+      if (score > cur[j])
+        cur[j] = score;
+      if (do_tb && cur[j] == score)
+        trow[j] = OP_D;
+    }
+    // from left (insertion; reads updated cells)
+    for (int64_t j = left + 1; j < right; ++j) {
+      const int16_t score = static_cast<int16_t>(cur[j - 1] + ALN_INDEL);
+      if (score > cur[j])
+        cur[j] = score;
+      if (do_tb && cur[j] == score)
+        trow[j] = OP_I;
+    }
+  }
+
+  int16_t best = 0;
+  for (int64_t k = 0; k < n_cells; ++k)
+    if (table[k] > best)
+      best = table[k];
+  return best;
+}
+
+}  // extern "C++"
+
+extern "C" {
+
+// Score-only banded alignment.  scratch must hold (q_sz + bw) * bw int16.
+int16_t
+banded_align_score(const uint8_t *genome_nib, const uint8_t *qseq,
+                   int64_t q_sz, int64_t t_pos, int64_t bandwidth,
+                   int16_t *scratch) {
+  return banded_align_impl(genome_nib, qseq, q_sz, t_pos, bandwidth, scratch,
+                           nullptr, false);
+}
+
+// Alignment with traceback -> BAM cigar ops.  Returns the number of cigar
+// ops written; outputs aligned length and the updated t_pos.
+// (AbismalAlign.hpp:388-440)
+int64_t
+banded_align_traceback(const uint8_t *genome_nib, const uint8_t *qseq,
+                       int64_t q_sz, int64_t t_pos, int64_t bandwidth,
+                       int16_t *scratch, int8_t *tb_scratch,
+                       uint32_t *cigar_out, int64_t *aln_len_out,
+                       int64_t *t_pos_out, int16_t *score_out) {
+  const int64_t bw = bandwidth;
+  const int16_t r = banded_align_impl(genome_nib, qseq, q_sz, t_pos, bw,
+                                      scratch, tb_scratch, true);
+  *score_out = r;
+  const int64_t t_shift = q_sz + bw;
+  const int64_t n_cells = t_shift * bw;
+  // argmax in flat order (first max wins)
+  int64_t best_cell = 0;
+  int16_t best = -1;
+  for (int64_t k = 0; k < n_cells; ++k)
+    if (scratch[k] > best) {
+      best = scratch[k];
+      best_cell = k;
+    }
+  if (r == 0) {
+    cigar_out[0] = static_cast<uint32_t>(q_sz) << 4;  // '<len>M'
+    *aln_len_out = q_sz;
+    *t_pos_out = t_pos;
+    return 1;
+  }
+  int64_t the_row = best_cell / bw;
+  int64_t the_col = best_cell % bw;
+  const int64_t soft_clip_bottom = (q_sz + bw - 1) - (the_row + the_col);
+
+  // traceback walk (AbismalAlign.hpp:166-193)
+  int64_t n_ops = 0;
+  int8_t prev_arrow = tb_scratch[the_row * bw + the_col];
+  bool is_del = prev_arrow == OP_D;
+  bool is_ins = prev_arrow == OP_I;
+  the_row -= is_ins ? 0 : 1;
+  the_col -= is_ins ? 1 : 0;
+  the_col += is_del ? 1 : 0;
+  uint32_t n = 1;
+  while (scratch[the_row * bw + the_col] > 0) {
+    const int8_t arrow = tb_scratch[the_row * bw + the_col];
+    is_del = arrow == OP_D;
+    is_ins = arrow == OP_I;
+    the_row -= is_ins ? 0 : 1;
+    the_col -= is_ins ? 1 : 0;
+    the_col += is_del ? 1 : 0;
+    if (arrow != prev_arrow) {
+      cigar_out[n_ops++] = (n << 4) | static_cast<uint32_t>(prev_arrow);
+      n = 0;
+    }
+    ++n;
+    prev_arrow = arrow;
+  }
+  cigar_out[n_ops++] = (n << 4) | static_cast<uint32_t>(prev_arrow);
+
+  const int64_t soft_clip_top = (the_row + the_col) - (bw - 1);
+  if (soft_clip_top > 0)
+    cigar_out[n_ops++] =
+      (static_cast<uint32_t>(soft_clip_top) << 4) | OP_S;
+  std::reverse(cigar_out, cigar_out + n_ops);
+  if (soft_clip_bottom > 0)
+    cigar_out[n_ops++] =
+      (static_cast<uint32_t>(soft_clip_bottom) << 4) | OP_S;
+
+  *aln_len_out = q_sz - soft_clip_bottom - soft_clip_top;
+  *t_pos_out = (t_pos - ((bw - 1) / 2)) + the_row;
+  return n_ops;
+}
+
+}  // extern "C"
+
+// ---------------------------------------------------------------------------
 // MT19937 (32-bit Mersenne Twister, standard algorithm) plus the libstdc++
 // mappings for uniform_int_distribution<uint64_t> over the full range and
 // uniform_real_distribution<double> over [0,1) (generate_canonical with two

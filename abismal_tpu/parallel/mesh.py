@@ -37,16 +37,15 @@ def shard_stage1(stage1, mesh):
 
     def wrapped(tables, preads, packed, wmask, lens, is_ga, thr):
         def inner(tables, preads, packed, wmask, lens, is_ga, thr):
-            ev_pos, ev_diffs, ev_rank, count, overflow = stage1(
-                *tables, preads, packed, wmask, lens, is_ga, thr
-            )
+            ev, cf = stage1(*tables, preads, packed, wmask, lens, is_ga, thr)
+            count = cf & 0x3FFFFFFF
             total_events = jax.lax.psum(count.sum(), "data")
-            return ev_pos, ev_diffs, ev_rank, count, overflow, total_events
+            return ev, cf, total_events
 
         return shard_map(
             inner, mesh=mesh,
             in_specs=(rep, sh, sh, sh, sh, sh, sh),
-            out_specs=(sh, sh, sh, sh, sh, rep),
+            out_specs=(P("data", None), sh, rep),
             check_rep=False,
         )(tables, preads, packed, wmask, lens, is_ga, thr)
 

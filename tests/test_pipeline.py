@@ -32,8 +32,9 @@ def test_tpu_engine_parity(tmp_path, trex1_index, prefix, paired, pbat):
           f"-i tests/tRex1.idx {tail}")
     sam = tmp_path / "out.sam"
     mstats = tmp_path / "out.mstats"
+    # small unit batch keeps the CPU-backend jit program cheap in tests
     run_map(trex1_index, fq1, fq2, str(sam), str(mstats), cl, pbat=pbat,
-            engine_factory=make_tpu_engine_factory())
+            engine_factory=make_tpu_engine_factory(unit_batch=128))
     assert sam.read_text() == _read_golden(prefix + ".sam")
     assert mstats.read_text() == _read_golden(prefix + ".mstats")
 
@@ -54,7 +55,8 @@ def test_stage1_events_match_oracle(trex1_index):
 
     view = SeedIndexView(trex1_index)
     dev = DeviceIndex(trex1_index)
-    stage1, o_spec = build_stage1(128, dev.max_candidates, dev.n_index3)
+    stage1, o_spec = build_stage1(128, dev.max_candidates, dev.n_index2,
+                                  dev.n_index3)
 
     rng = np.random.default_rng(0)
     # sample genuine genome substrings as fake reads
@@ -70,11 +72,15 @@ def test_stage1_events_match_oracle(trex1_index):
     preads, packed, wmask, lens = prepare_units(units, 128)
     is_ga = np.array([get_conv_is_ga(sc)] * len(units))
     thr = ((2 * lens.astype(np.int64)) // 5).astype(np.int32)
-    ev_pos, ev_diffs, ev_rank, count, overflow = [
-        np.asarray(x)
-        for x in stage1(dev.genome32, dev.counter2, dev.counter3, dev.index2,
-                        dev.index3, preads, packed, wmask, lens, is_ga, thr)
-    ]
+    ev, cf = stage1(*dev.tables(), preads, packed, wmask, lens, is_ga, thr)
+    ev = np.asarray(ev)
+    cf = np.asarray(cf)
+    gpos, gmeta = ev[0], ev[1]
+    count = cf & 0x3FFFFFFF
+    overflow = (cf >> 30) != 0
+    prefix = np.concatenate(([0], np.cumsum(count)))
+    diffs_all = (gmeta >> 25).astype(np.int32)
+    rank_all = (gmeta & 0x1FFFFFF).astype(np.int32)
 
     for i, r in enumerate(reads):
         if overflow[i]:
@@ -85,8 +91,9 @@ def test_stage1_events_match_oracle(trex1_index):
         process_seeds(view, pread, pack_read(pread), sc, res_a)
         res_b = SECandidates()
         res_b.reset(len(r))
-        replay_events(res_b, sc, ev_pos[i], ev_diffs[i], ev_rank[i],
-                      int(count[i]), o_spec)
+        s, e = int(prefix[i]), int(prefix[i + 1])
+        replay_events(res_b, sc, gpos[s:e], diffs_all[s:e], rank_all[s:e],
+                      e - s, o_spec)
         assert res_a.best == res_b.best
         assert res_a.sz == res_b.sz
         assert sorted(map(tuple, res_a.v[: res_a.sz])) == sorted(
