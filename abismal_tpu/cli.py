@@ -166,6 +166,7 @@ def cmd_map(argv):
         random_pbat=a.random_pbat, allow_ambig=a.ambig, stats_json=a.json,
         valid_frac=a.max_distance, pe_min_dist=a.min_frag,
         pe_max_dist=a.max_frag, engine_factory=engine_factory,
+        threads=a.threads, bam=a.bam, verbose=a.verbose,
     )
     return 0
 

@@ -4,7 +4,25 @@ htslib-based output byte for byte (src/abismal.cpp:451-545, 648-773,
 
 from __future__ import annotations
 
+from contextlib import contextmanager
+
 from ..constants import CIGAR_OPS, CIGAR_SHIFT, CIGAR_TYPE, VERSION_STRING
+
+
+@contextmanager
+def open_sam_output(path: str, bam: bool = False):
+    """Text-SAM or BAM sink; both accept SAM text via write()."""
+    if bam:
+        from .bam import BamWriter
+
+        w = BamWriter(path)
+        try:
+            yield w
+        finally:
+            w.close()
+    else:
+        with open(path, "w") as f:
+            yield f
 
 
 def cigar_rseq_ops(cigar) -> int:

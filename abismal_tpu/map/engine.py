@@ -669,11 +669,32 @@ def run_map(index, reads_file1: str, reads_file2: str | None, out_path: str,
             valid_frac: float = VALID_FRAC_DEFAULT,
             pe_min_dist: int = PE_MIN_DIST_DEFAULT,
             pe_max_dist: int = PE_MAX_DIST_DEFAULT,
-            engine_factory=None):
+            engine_factory=None, threads: int = 1,
+            bam: bool = False, verbose: bool = False):
     """End-to-end `map` command (abismal.cpp:2295-2504)."""
     from .stats import stats_to_json
 
     paired = reads_file2 is not None
+
+    if threads > 1 and engine_factory is None:
+        # parallel host runner; output is identical to the sequential path
+        from .runner import run_map_parallel
+
+        stats = run_map_parallel(
+            index, reads_file1, reads_file2, out_path, command_line,
+            threads, a_rich=a_rich, pbat=pbat, random_pbat=random_pbat,
+            allow_ambig=allow_ambig, valid_frac=valid_frac,
+            pe_min_dist=pe_min_dist, pe_max_dist=pe_max_dist, bam=bam)
+        if stats_path:
+            with open(stats_path, "w") as f:
+                if stats_json:
+                    f.write(stats_to_json(stats))
+                elif paired:
+                    f.write(stats.tostring(allow_ambig))
+                else:
+                    f.write(stats.tostring("read1"))
+        return stats
+
     if engine_factory is None:
         engine = MappingEngine(index, allow_ambig, valid_frac, pe_min_dist,
                                pe_max_dist)
@@ -681,7 +702,14 @@ def run_map(index, reads_file1: str, reads_file2: str | None, out_path: str,
         engine = engine_factory(index, allow_ambig, valid_frac, pe_min_dist,
                                 pe_max_dist)
 
-    with open(out_path, "w") as out:
+    import sys
+    import time as _time
+
+    from ..io.sam import open_sam_output
+
+    start_time = _time.monotonic()
+    n_processed = 0
+    with open_sam_output(out_path, bam) as out:
         out.write(make_sam_header(index.cl, command_line))
         if not paired:
             stats = SEStats()
@@ -692,6 +720,10 @@ def run_map(index, reads_file1: str, reads_file2: str | None, out_path: str,
                 if batch:
                     engine.map_se_reads(batch, a_rich_mode, random_pbat,
                                         stats, out)
+                    n_processed += len(batch)
+                    if verbose:
+                        print(f"[mapped {n_processed} reads]",
+                              file=sys.stderr)
         else:
             stats = PEStats()
             rl1 = ReadLoader(reads_file1)
@@ -701,7 +733,14 @@ def run_map(index, reads_file1: str, reads_file2: str | None, out_path: str,
                 b2 = rl2.load_batch()
                 if b1 or b2:
                     engine.map_pe_reads(b1, b2, pbat, random_pbat, stats, out)
+                    n_processed += len(b1)
+                    if verbose:
+                        print(f"[mapped {n_processed} read pairs]",
+                              file=sys.stderr)
 
+    if verbose:
+        print(f"[total mapping time: "
+              f"{_time.monotonic() - start_time:.2f}s]", file=sys.stderr)
     if stats_path:
         with open(stats_path, "w") as f:
             if stats_json:

@@ -66,3 +66,38 @@ def test_map_parity_full(tmp_path, trex1_index, prefix, paired, pbat):
     run_map(trex1_index, fq1, fq2, str(sam), str(mstats), cl, pbat=pbat)
     assert sam.read_text() == _read_golden(prefix + ".sam")
     assert mstats.read_text() == _read_golden(prefix + ".mstats")
+
+
+def test_parallel_runner_parity(tmp_path, trex1_index):
+    """-t N output must be byte-identical to the sequential engine."""
+    from abismal_tpu.map.engine import run_map
+
+    fq = golden_path("small_1.fq")
+    cl = ("map -s tests/small.mstats -o tests/small.sam -i tests/tRex1.idx "
+          "tests/small_1.fq")
+    sam = tmp_path / "t.sam"
+    mst = tmp_path / "t.mstats"
+    run_map(trex1_index, fq, None, str(sam), str(mst), cl, threads=3)
+    assert sam.read_text() == _read_golden("small.sam")
+    assert mst.read_text() == _read_golden("small.mstats")
+
+
+def test_bam_output_roundtrip(tmp_path, trex1_index):
+    """-B output parses back to the same records as the SAM golden."""
+    from abismal_tpu.io.bam import read_bam_records
+    from abismal_tpu.map.engine import run_map
+
+    fq = golden_path("small_1.fq")
+    cl = ("map -s tests/small.mstats -o tests/small.sam -i tests/tRex1.idx "
+          "tests/small_1.fq")
+    bam = tmp_path / "t.bam"
+    run_map(trex1_index, fq, None, str(bam), None, cl, bam=True)
+    hdr, refs, recs = read_bam_records(str(bam))
+    gold = [ln.split("\t") for ln in _read_golden("small.sam").splitlines()
+            if not ln.startswith("@")]
+    assert len(recs) == len(gold)
+    for r, g in zip(recs, gold):
+        qname, flag, refid, pos0, mapq, cigar, nrefid, npos, tlen, seq, _ = r
+        assert qname == g[0] and flag == int(g[1])
+        assert refs[refid][0] == g[2] and pos0 + 1 == int(g[3])
+        assert cigar == g[5] and seq == g[9]
