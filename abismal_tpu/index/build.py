@@ -112,7 +112,23 @@ def rolling_hashes(nibbles: np.ndarray):
 
 
 def included_mask(n: int, exclude) -> np.ndarray:
-    """True for positions not inside any exclude interval."""
+    """True for positions the reference's counting loops accept.
+
+    The reference advances its exclude iterator only AFTER testing each
+    position (AbismalIndex.cpp:355-364), so the position at each interval's
+    `second` (the first base after an excluded N run) is still compared
+    against that interval's `first` and silently skipped -- it is never
+    counted or indexed.  Reproduced here by also masking interval ends."""
+    flags = np.ones(n, dtype=bool)
+    for s, e in exclude:
+        flags[min(s, n) : min(e + 1, n)] = False
+    return flags
+
+
+def covered_mask(n: int, exclude) -> np.ndarray:
+    """True for positions covered by the block decomposition (classification
+    and the seed-selection DP): everything outside the exclude intervals,
+    including each interval's end position."""
     flags = np.ones(n, dtype=bool)
     for s, e in exclude:
         flags[min(s, n) : min(e, n)] = False
@@ -250,10 +266,11 @@ def _build_from_genome(genome: np.ndarray, cl) -> "AbismalIndex":
     cnt3t = np.bincount(k3t[incl[:lim3]], minlength=N_BUCKETS_THREE)
     cnt3a = np.bincount(k3a[incl[:lim3]], minlength=N_BUCKETS_THREE)
 
-    # two- vs three-letter classification (AbismalIndex.cpp:471-543):
+    # two- vs three-letter classification (AbismalIndex.cpp:471-543) runs
+    # over the block decomposition, which does cover interval ends:
     # two_letter_cost(c2) <= three_letter_cost(ct, ca) = (ct + ca) >> 1
     itl = np.zeros(n, dtype=np.uint8)
-    m = incl[:lim2]
+    m = covered_mask(n, exclude)[:lim2]
     covered = np.flatnonzero(m)
     itl[covered] = (
         cnt2[k2[covered]] <= ((cnt3t[k3t[covered]] + cnt3a[k3a[covered]]) >> 1)
@@ -275,8 +292,9 @@ def _build_from_genome(genome: np.ndarray, cl) -> "AbismalIndex":
 
     # pass 2: masked bucket sizes + fill + suffix sort
     keep_b = keep.view(bool)
-    kept2 = np.flatnonzero(m & keep_b[:lim2] & itl.view(bool)[:lim2])
-    kept3 = np.flatnonzero(m & keep_b[:lim2] & ~itl.view(bool)[:lim2])
+    cm = incl[:lim2]  # the fill loops skip interval ends like the counts
+    kept2 = np.flatnonzero(cm & keep_b[:lim2] & itl.view(bool)[:lim2])
+    kept3 = np.flatnonzero(cm & keep_b[:lim2] & ~itl.view(bool)[:lim2])
 
     bits = NIBBLE_TO_BIT[nibbles]
     counter, index = _sorted_bucket_fill(
