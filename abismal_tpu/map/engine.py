@@ -676,11 +676,17 @@ def run_map(index, reads_file1: str, reads_file2: str | None, out_path: str,
 
     paired = reads_file2 is not None
 
-    if threads > 1 and engine_factory is None:
-        # parallel host runner; output is identical to the sequential path
-        from .runner import run_map_parallel
+    if threads > 1:
+        # parallel host runner (optionally hybrid: device stage-1 in this
+        # process, decide/align in workers); output is identical to the
+        # sequential path
+        if engine_factory is not None and getattr(
+                engine_factory, "is_tpu", False):
+            from .runner import run_map_hybrid as _runner
+        else:
+            from .runner import run_map_parallel as _runner
 
-        stats = run_map_parallel(
+        stats = _runner(
             index, reads_file1, reads_file2, out_path, command_line,
             threads, a_rich=a_rich, pbat=pbat, random_pbat=random_pbat,
             allow_ambig=allow_ambig, valid_frac=valid_frac,

@@ -41,11 +41,12 @@ _jax = None
 _jnp = None
 
 
+import os
+
+
 def _jm():
     global _jax, _jnp
     if _jax is None:
-        import os
-
         import jax
         import jax.numpy as jnp
 
@@ -130,7 +131,10 @@ def build_stage1(lmax: int, max_candidates: int, n_index2: int,
     n_cells = (o_spec + o_sens) * 2
     n_words = 2 * ((lmax + 15) // 16)  # u32 words incl. the 0xF tail block
     CELLCAP = SLOT  # max candidates per cell
-    CAND_PER_UNIT = 1024  # global candidate budget per unit
+    # global candidate budget per unit: measured mean on realistic WGBS
+    # reads is ~115 with p99 ~1.3k; the budget is pooled across the batch,
+    # and units beyond it fall back to the exact host path
+    CAND_PER_UNIT = int(os.environ.get("ABISMAL_TPU_CAND_PER_UNIT", "384"))
 
     # static per-cell offset table in discovery-rank order:
     # spec cells (i*2 + table), then sens cells ((o_spec+i)*2 + table)
@@ -482,7 +486,7 @@ class TpuMappingEngine(MappingEngine):
 
     def __init__(self, index, allow_ambig=False, valid_frac=0.1,
                  pe_min_dist=32, pe_max_dist=3000, lmax: int = 128,
-                 unit_batch: int = 512, device_put=None):
+                 unit_batch: int = 1024, device_put=None):
         MappingEngine.__init__(self, index, allow_ambig, valid_frac,
                                pe_min_dist, pe_max_dist)
         self.lmax = lmax
@@ -613,11 +617,12 @@ class TpuMappingEngine(MappingEngine):
         replay_events(res, sc, ev_pos, ev_diffs, ev_rank, c, self.o_spec)
 
 
-def make_tpu_engine_factory(lmax: int = 128, unit_batch: int = 512):
+def make_tpu_engine_factory(lmax: int = 128, unit_batch: int = 1024):
     def factory(index, allow_ambig, valid_frac, pe_min_dist, pe_max_dist):
         return TpuMappingEngine(index, allow_ambig, valid_frac, pe_min_dist,
                                 pe_max_dist, lmax=lmax, unit_batch=unit_batch)
 
+    factory.is_tpu = True
     return factory
 
 
@@ -644,3 +649,27 @@ def prepare_units(unit_reads, lmax: int):
             packed[i, : 2 * nw64] = words
             wmask[i, : 2 * nw64] = 1
     return preads, packed, wmask, lens
+
+
+class EventReplayEngine(MappingEngine):
+    """Worker-side engine: replays externally supplied event caches (no
+    device access).  Used by the hybrid runner, where the parent process
+    drives the accelerator and forked workers do the sequential decide/
+    align/format work."""
+
+    def __init__(self, *args, **kwargs):
+        MappingEngine.__init__(self, *args, **kwargs)
+        self._cache = {}
+        self.o_spec = max(WINDOW_SIZE, 128 >> 1)
+
+    def set_cache(self, cache, o_spec):
+        self._cache = cache
+        self.o_spec = o_spec
+
+    def _seeds(self, pread, packed, sc, res, key=None):
+        ev = self._cache.get(key, None) if key is not None else None
+        if ev is None:
+            process_seeds(self.view, pread, packed, sc, res)
+            return
+        ev_pos, ev_diffs, ev_rank, c = ev
+        replay_events(res, sc, ev_pos, ev_diffs, ev_rank, c, self.o_spec)

@@ -122,3 +122,120 @@ def run_map_parallel(index, reads_file1, reads_file2, out_path, command_line,
     finally:
         pool.shutdown()
     return stats
+
+
+# --- hybrid device + multi-process runner -------------------------------
+
+_HYBRID_ENGINE = None
+
+
+def _init_hybrid_worker(index, allow_ambig, valid_frac, pe_min_dist,
+                        pe_max_dist):
+    global _HYBRID_ENGINE
+    from .pipeline import EventReplayEngine
+
+    _HYBRID_ENGINE = EventReplayEngine(index, allow_ambig, valid_frac,
+                                       pe_min_dist, pe_max_dist)
+
+
+def _hybrid_se_batch(args):
+    batch, a_rich_mode, random_pbat, cache, o_spec = args
+    out = StringIO()
+    stats = SEStats()
+    _HYBRID_ENGINE.set_cache(cache, o_spec)
+    _HYBRID_ENGINE.map_se_reads(batch, a_rich_mode, random_pbat, stats, out)
+    return out.getvalue(), stats.__dict__
+
+
+def _hybrid_pe_batch(args):
+    b1, b2, a_rich_mode, random_pbat, cache, o_spec = args
+    out = StringIO()
+    stats = PEStats()
+    _HYBRID_ENGINE.set_cache(cache, o_spec)
+    _HYBRID_ENGINE.map_pe_reads(b1, b2, a_rich_mode, random_pbat, stats, out)
+    return out.getvalue(), {
+        "read_pair_stats": stats.read_pair_stats.__dict__,
+        "end1_stats": stats.end1_stats.__dict__,
+        "end2_stats": stats.end2_stats.__dict__,
+    }
+
+
+def run_map_hybrid(index, reads_file1, reads_file2, out_path, command_line,
+                   n_workers, a_rich=False, pbat=False, random_pbat=False,
+                   allow_ambig=False, valid_frac=0.1, pe_min_dist=32,
+                   pe_max_dist=3000, window=3, bam=False):
+    """Device stage-1 in this process; sequential decide/align/format in
+    forked workers; output written in global batch order (deterministic and
+    byte-identical to the sequential engines)."""
+    from .pipeline import TpuMappingEngine
+
+    paired = reads_file2 is not None
+    a_rich_mode = a_rich or pbat
+
+    dev_engine = TpuMappingEngine(index, allow_ambig, valid_frac,
+                                  pe_min_dist, pe_max_dist)
+
+    import multiprocessing as mp
+
+    ctx = mp.get_context("fork")
+    pool = ProcessPoolExecutor(
+        max_workers=n_workers, mp_context=ctx,
+        initializer=_init_hybrid_worker,
+        initargs=(index, allow_ambig, valid_frac, pe_min_dist, pe_max_dist),
+    )
+    stats = PEStats() if paired else SEStats()
+    from ..io.sam import open_sam_output
+
+    try:
+        with open_sam_output(out_path, bam) as out:
+            out.write(make_sam_header(index.cl, command_line))
+            futures = []
+            max_outstanding = window * n_workers
+
+            def drain(limit):
+                while len(futures) > limit:
+                    text, st = futures.pop(0).result()
+                    out.write(text)
+                    if paired:
+                        _merge_counters(stats.read_pair_stats,
+                                        st["read_pair_stats"])
+                        _merge_counters(stats.end1_stats, st["end1_stats"])
+                        _merge_counters(stats.end2_stats, st["end2_stats"])
+                    else:
+                        _merge_counters(stats, st)
+
+            if not paired:
+                rl = ReadLoader(reads_file1)
+                while rl:
+                    batch = rl.load_batch()
+                    if batch:
+                        dev_engine._prepare_batch_se(
+                            batch, a_rich_mode, random_pbat)
+                        futures.append(pool.submit(_hybrid_se_batch, (
+                            batch, a_rich_mode, random_pbat,
+                            dev_engine._cache, dev_engine.o_spec)))
+                    drain(max_outstanding)
+            else:
+                rl1 = ReadLoader(reads_file1)
+                rl2 = ReadLoader(reads_file2)
+                while rl1 and rl2:
+                    b1 = rl1.load_batch()
+                    b2 = rl2.load_batch()
+                    if len(b1) != len(b2):
+                        raise RuntimeError(
+                            f"paired-end batch sizes differ. Batch 1: "
+                            f"{len(b1)}, batch 2: {len(b2)}. Are you sure "
+                            "your paired-end inputs have the same number of "
+                            "reads?")
+                    if b1 or b2:
+                        # PE ignores -A; conversion mode is pbat only
+                        dev_engine._prepare_batch_pe(
+                            b1, b2, pbat, random_pbat)
+                        futures.append(pool.submit(_hybrid_pe_batch, (
+                            b1, b2, pbat, random_pbat,
+                            dev_engine._cache, dev_engine.o_spec)))
+                    drain(max_outstanding)
+            drain(0)
+    finally:
+        pool.shutdown()
+    return stats

@@ -98,3 +98,21 @@ def test_stage1_events_match_oracle(trex1_index):
         assert res_a.sz == res_b.sz
         assert sorted(map(tuple, res_a.v[: res_a.sz])) == sorted(
             map(tuple, res_b.v[: res_b.sz]))
+
+
+@pytest.mark.slow
+def test_hybrid_runner_parity(tmp_path, trex1_index):
+    """Device stage-1 + multiprocess decode must stay byte-identical."""
+    from abismal_tpu.map.engine import run_map
+    from abismal_tpu.map.pipeline import make_tpu_engine_factory
+
+    fq = golden_path("small_1.fq")
+    cl = ("map -s tests/small.mstats -o tests/small.sam -i tests/tRex1.idx "
+          "tests/small_1.fq")
+    sam = tmp_path / "h.sam"
+    mst = tmp_path / "h.mstats"
+    run_map(trex1_index, fq, None, str(sam), str(mst), cl,
+            engine_factory=make_tpu_engine_factory(unit_batch=128),
+            threads=2)
+    assert sam.read_text() == _read_golden("small.sam")
+    assert mst.read_text() == _read_golden("small.mstats")
