@@ -75,6 +75,8 @@ def cmd_sim(argv):
     p.add_argument("-m", "--mut", type=float, default=0.0)
     p.add_argument("-b", "--bis", type=float, default=1.0)
     p.add_argument("-c", "--changes", default="")
+    p.add_argument("-M", "--max-mut", type=int, default=None,
+                   help="accepted for compatibility; unused upstream too")
     p.add_argument("-a", "--pbat", action="store_true")
     p.add_argument("-R", "--random-pbat", action="store_true")
     p.add_argument("-s", "--strand", default="b")

@@ -190,19 +190,44 @@ def _suffix_keys_three(srt: np.ndarray, pos: np.ndarray):
     return chunks
 
 
-def _sorted_bucket_fill(keys: np.ndarray, pos: np.ndarray, suffix_chunks,
-                        n_buckets: int):
+def _sorted_bucket_fill(keys: np.ndarray, pos: np.ndarray, suffix_fn,
+                        n_buckets: int, chunk_positions: int = 8_000_000):
     """Order positions by (bucket, suffix, descending position) and return
     (counter_starts, index).  Descending position breaks suffix ties exactly
     like the reference's back-to-front counting-sort fill followed by
-    stable_sort (AbismalIndex.cpp:545-641,905-978)."""
+    stable_sort (AbismalIndex.cpp:545-641,905-978).
+
+    For large genomes the sort runs over key-range groups (buckets are the
+    primary key, so groups concatenate in order), bounding the memory used
+    by the packed suffix keys."""
     counts = np.bincount(keys, minlength=n_buckets)
     counter = np.zeros(n_buckets + 1, dtype=np.uint32)
-    np.cumsum(counts, out=counts)
-    counter[1:] = counts
-    inv_pos = np.uint32(0xFFFFFFFF) - pos
-    order = np.lexsort(tuple([inv_pos] + suffix_chunks[::-1] + [keys]))
-    return counter, pos[order].astype(np.uint32)
+    cum = np.cumsum(counts)
+    counter[1:] = cum
+
+    n = pos.shape[0]
+    if n <= chunk_positions:
+        order = np.lexsort(tuple(
+            [np.uint32(0xFFFFFFFF) - pos] + suffix_fn(pos)[::-1] + [keys]))
+        return counter, pos[order].astype(np.uint32)
+
+    n_groups = int(np.ceil(n / chunk_positions))
+    # bucket-space split points with ~equal positions per group
+    targets = (np.arange(1, n_groups) * n) // n_groups
+    split_buckets = np.searchsorted(cum, targets, side="left")
+    group = np.searchsorted(split_buckets, keys, side="right")
+    out = np.empty(n, dtype=np.uint32)
+    w = 0
+    for g in range(n_groups):
+        sel = np.flatnonzero(group == g)
+        if sel.shape[0] == 0:
+            continue
+        p = pos[sel]
+        order = np.lexsort(tuple(
+            [np.uint32(0xFFFFFFFF) - p] + suffix_fn(p)[::-1] + [keys[sel]]))
+        out[w : w + p.shape[0]] = p[order]
+        w += p.shape[0]
+    return counter, out
 
 
 def load_target_regions(path: str):
@@ -298,17 +323,19 @@ def _build_from_genome(genome: np.ndarray, cl) -> "AbismalIndex":
 
     bits = NIBBLE_TO_BIT[nibbles]
     counter, index = _sorted_bucket_fill(
-        k2[kept2], kept2.astype(np.uint32), _suffix_keys_two(bits, kept2),
-        N_BUCKETS_TWO,
+        k2[kept2], kept2.astype(np.uint32),
+        lambda p: _suffix_keys_two(bits, p.astype(np.int64)), N_BUCKETS_TWO,
     )
     srt_t = NIBBLE_TO_SRT_CT[nibbles]
     counter_t, index_t = _sorted_bucket_fill(
-        k3t[kept3], kept3.astype(np.uint32), _suffix_keys_three(srt_t, kept3),
+        k3t[kept3], kept3.astype(np.uint32),
+        lambda p: _suffix_keys_three(srt_t, p.astype(np.int64)),
         N_BUCKETS_THREE,
     )
     srt_a = NIBBLE_TO_SRT_GA[nibbles]
     counter_a, index_a = _sorted_bucket_fill(
-        k3a[kept3], kept3.astype(np.uint32), _suffix_keys_three(srt_a, kept3),
+        k3a[kept3], kept3.astype(np.uint32),
+        lambda p: _suffix_keys_three(srt_a, p.astype(np.int64)),
         N_BUCKETS_THREE,
     )
 
