@@ -97,15 +97,18 @@ def rolling_hashes(nibbles: np.ndarray):
     bits = NIBBLE_TO_BIT[nibbles]
     k2 = np.zeros(lim2, dtype=np.uint32)
     for j in range(KEY_WEIGHT):
-        k2 = (k2 << np.uint32(1)) | bits[j : j + lim2]
+        k2 <<= np.uint32(1)
+        k2 |= bits[j : j + lim2]
 
     three_t = NIBBLE_TO_THREE_CT[nibbles]
     three_a = NIBBLE_TO_THREE_GA[nibbles]
     k3t = np.zeros(lim3, dtype=np.uint32)
     k3a = np.zeros(lim3, dtype=np.uint32)
     for j in range(KEY_WEIGHT_THREE):
-        k3t = k3t * np.uint32(3) + three_t[j : j + lim3]
-        k3a = k3a * np.uint32(3) + three_a[j : j + lim3]
+        k3t *= np.uint32(3)
+        k3t += three_t[j : j + lim3]
+        k3a *= np.uint32(3)
+        k3a += three_a[j : j + lim3]
     k3t %= np.uint32(HASH_MASK_THREE)
     k3a %= np.uint32(HASH_MASK_THREE)
     return k2, k3t, k3a
