@@ -197,8 +197,8 @@ class MappingEngine:
     def _prepare_batch_pe(self, reads1, reads2, a_rich_mode, random_pbat):
         pass
 
-    def _seeds(self, pread, packed, sc, res, key=None):
-        process_seeds(self.view, pread, packed, sc, res)
+    def _seeds(self, pread, sc, res, key=None):
+        process_seeds(self.view, pread, pack_read(pread), sc, res)
 
     # ------------------------------------------------------------------ SE
     def _format_se(self, best, cigar, name: str, read: bytes):
@@ -244,13 +244,11 @@ class MappingEngine:
                 if not random_pbat:
                     conv = a_rich_mode
                     pread = prep_read(read, conv)
-                    packed = pack_read(pread)
-                    self._seeds(pread, packed, strand_code("+", conv), res,
+                    self._seeds(pread, strand_code("+", conv), res,
                                 (ri, "f", conv))
                     read_rc = revcomp_str(read.decode()).encode()
                     pread_rc = prep_read(read_rc, not conv)
-                    packed_rc = pack_read(pread_rc)
-                    self._seeds(pread_rc, packed_rc, strand_code("-", conv),
+                    self._seeds(pread_rc, strand_code("-", conv),
                                 res, (ri, "r", not conv))
                     best, cigar = align_se_candidates(
                         pread, pread_rc, pread, pread_rc, self.valid_frac,
@@ -259,21 +257,17 @@ class MappingEngine:
                 else:
                     # 4-way RPBAT orchestration (abismal.cpp:1602-1704)
                     pread_t = prep_read(read, False)
-                    self._seeds(pread_t, pack_read(pread_t),
-                                strand_code("+", False), res,
+                    self._seeds(pread_t, strand_code("+", False), res,
                                 (ri, "f", False))
                     pread_a = prep_read(read, True)
-                    self._seeds(pread_a, pack_read(pread_a),
-                                strand_code("+", True), res,
+                    self._seeds(pread_a, strand_code("+", True), res,
                                 (ri, "f", True))
                     read_rc = revcomp_str(read.decode()).encode()
                     pread_t_rc = prep_read(read_rc, False)
-                    self._seeds(pread_t_rc, pack_read(pread_t_rc),
-                                strand_code("-", True), res,
+                    self._seeds(pread_t_rc, strand_code("-", True), res,
                                 (ri, "r", False))
                     pread_a_rc = prep_read(read_rc, True)
-                    self._seeds(pread_a_rc, pack_read(pread_a_rc),
-                                strand_code("-", False), res,
+                    self._seeds(pread_a_rc, strand_code("-", False), res,
                                 (ri, "r", True))
                     best, cigar = align_se_candidates(
                         pread_t, pread_t_rc, pread_a, pread_a_rc,
@@ -406,11 +400,11 @@ class MappingEngine:
         pread1 = pread2 = None
         if read1:
             pread1 = prep_read(read1, conv_a_rich)
-            self._seeds(pread1, pack_read(pread1), sc1, res1, keys[0])
+            self._seeds(pread1, sc1, res1, keys[0])
         if read2:
             rc = revcomp_str(read2.decode()).encode()
             pread2 = prep_read(rc, conv_a_rich)
-            self._seeds(pread2, pack_read(pread2), sc2, res2, keys[1])
+            self._seeds(pread2, sc2, res2, keys[1])
         # select_maps (abismal.cpp:1833-1847); runs even when one read is
         # empty (that side's set holds only its sentinel, so the sweep
         # no-ops, but the sorting still affects best_single's input order)
@@ -633,16 +627,12 @@ class MappingEngine:
                 )
 
     def _align_se_fallback(self, preads, res_se: SECandidates, readlen: int):
+        # the four encodings per end are all present or all absent (a read
+        # is either empty, producing no fragment-call encodings, or every
+        # call encoded it)
         pt, ptrc, pa, parc = preads
         if pt is None and ptrc is None:
             return [MAX_DIFFS_SENTINEL, 0, 0], []
-        # substitute zero-length arrays for encodings that were never
-        # produced (read empty on that side)
-        empty = np.zeros(readlen, dtype=np.uint8)
-        pt = pt if pt is not None else empty
-        ptrc = ptrc if ptrc is not None else empty
-        pa = pa if pa is not None else empty
-        parc = parc if parc is not None else empty
         return align_se_candidates(
             pt, ptrc, pa, parc, self.valid_frac / 2, res_se, self.aln
         )
@@ -660,6 +650,20 @@ def cigars_swapped(cigars):
             cigars[1 - i] = v
 
     return _Swapped()
+
+
+def _write_stats(stats, stats_path, stats_json, paired, allow_ambig):
+    from .stats import stats_to_json
+
+    if not stats_path:
+        return
+    with open(stats_path, "w") as f:
+        if stats_json:
+            f.write(stats_to_json(stats))
+        elif paired:
+            f.write(stats.tostring(allow_ambig))
+        else:
+            f.write(stats.tostring("read1"))
 
 
 def run_map(index, reads_file1: str, reads_file2: str | None, out_path: str,
@@ -691,14 +695,7 @@ def run_map(index, reads_file1: str, reads_file2: str | None, out_path: str,
             threads, a_rich=a_rich, pbat=pbat, random_pbat=random_pbat,
             allow_ambig=allow_ambig, valid_frac=valid_frac,
             pe_min_dist=pe_min_dist, pe_max_dist=pe_max_dist, bam=bam)
-        if stats_path:
-            with open(stats_path, "w") as f:
-                if stats_json:
-                    f.write(stats_to_json(stats))
-                elif paired:
-                    f.write(stats.tostring(allow_ambig))
-                else:
-                    f.write(stats.tostring("read1"))
+        _write_stats(stats, stats_path, stats_json, paired, allow_ambig)
         return stats
 
     if engine_factory is None:
@@ -747,12 +744,5 @@ def run_map(index, reads_file1: str, reads_file2: str | None, out_path: str,
     if verbose:
         print(f"[total mapping time: "
               f"{_time.monotonic() - start_time:.2f}s]", file=sys.stderr)
-    if stats_path:
-        with open(stats_path, "w") as f:
-            if stats_json:
-                f.write(stats_to_json(stats))
-            elif paired:
-                f.write(stats.tostring(allow_ambig))
-            else:
-                f.write(stats.tostring("read1"))
+    _write_stats(stats, stats_path, stats_json, paired, allow_ambig)
     return stats

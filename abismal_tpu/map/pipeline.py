@@ -33,9 +33,13 @@ from ..constants import (
 )
 
 SLOT = 128  # max candidates checked per (offset, table); > max_candidates
-CAP = 768  # event buffer per unit
 GCAP_PER_UNIT = 48  # global event stream budget per unit
 HASH3_MOD = 43046721  # 3^16
+
+
+def o_spec_for(lmax: int) -> int:
+    """Static specific-phase offset bound for a padded read length."""
+    return max(WINDOW_SIZE, lmax >> 1)
 
 _jax = None
 _jnp = None
@@ -126,7 +130,7 @@ def build_stage1(lmax: int, max_candidates: int, n_index2: int,
     if memo_key in _stage1_memo:
         return _stage1_memo[memo_key]
     jax, jnp = _jm()
-    o_spec = max(WINDOW_SIZE, lmax >> 1)
+    o_spec = o_spec_for(lmax)
     o_sens = lmax - KEY_WEIGHT + 1
     n_cells = (o_spec + o_sens) * 2
     n_words = 2 * ((lmax + 15) // 16)  # u32 words incl. the 0xF tail block
@@ -207,12 +211,12 @@ def build_stage1(lmax: int, max_candidates: int, n_index2: int,
         lane_read_lim = lens[lane_b] - lane_off
         p_cap = stride - 1
 
-        def extend(lo, hi, p0, is_three):
+        def extend_three(lo, hi):
             lane_is_ga = is_ga[lane_b]
             sym_mask = jnp.where(lane_is_ga, np.uint32(10), np.uint32(5))
             v1 = jnp.where(lane_is_ga, 2, 1).astype(jnp.uint32)
             v2 = jnp.where(lane_is_ga, 8, 4).astype(jnp.uint32)
-            lane_idx_base = base3[lane_b] if is_three else 0
+            lane_idx_base = base3[lane_b]
 
             def cond(state):
                 p, lo, hi, plo, phi = state
@@ -245,25 +249,19 @@ def build_stage1(lmax: int, max_candidates: int, n_index2: int,
                     a, _ = jax.lax.fori_loop(0, 31, ibody, (lo, hi))
                     return a
 
-                if is_three:
-                    first1 = lb(v1, sym_mask)
-                    first2 = lb(v2, sym_mask)
-                    num = flat_sym[lane_base + lane_off + p]
-                    nhi = jnp.where(num == 0, first1,
-                                    jnp.where(num == v1, first2, hi))
-                    nlo = jnp.where(num == 0, lo,
-                                    jnp.where(num == v1, first1, first2))
-                else:
-                    first1 = lb(jnp.ones_like(v1), None)
-                    rbit = flat_bits[lane_base + lane_off + p]
-                    nlo = jnp.where(rbit == 1, first1, lo)
-                    nhi = jnp.where(rbit == 1, hi, first1)
+                first1 = lb(v1, sym_mask)
+                first2 = lb(v2, sym_mask)
+                num = flat_sym[lane_base + lane_off + p]
+                nhi = jnp.where(num == 0, first1,
+                                jnp.where(num == v1, first2, hi))
+                nlo = jnp.where(num == 0, lo,
+                                jnp.where(num == v1, first1, first2))
                 lo = jnp.where(act, nlo, lo)
                 hi = jnp.where(act, nhi, hi)
                 p = jnp.where(act, p + 1, p)
                 return p, lo, hi, plo, phi
 
-            p_init = jnp.full_like(lo, p0)
+            p_init = jnp.full_like(lo, KEY_WEIGHT_THREE)
             p, lo, hi, plo, phi = jax.lax.while_loop(
                 cond, body, (p_init, lo, hi, lo, hi))
             empty = lo == hi
@@ -317,8 +315,7 @@ def build_stage1(lmax: int, max_candidates: int, n_index2: int,
         l2 = l2.reshape(B, o_spec)
         s2x = s2x.reshape(B, o_spec)
         e2x = e2x.reshape(B, o_spec)
-        l3, s3x, e3x = extend(s3.reshape(-1), e3.reshape(-1),
-                              KEY_WEIGHT_THREE, True)
+        l3, s3x, e3x = extend_three(s3.reshape(-1), e3.reshape(-1))
         l3 = l3.reshape(B, o_spec)
         s3x = s3x.reshape(B, o_spec)
         e3x = e3x.reshape(B, o_spec)
@@ -427,8 +424,10 @@ def build_stage1(lmax: int, max_candidates: int, n_index2: int,
         count = acc_at[uend] - acc_at[ustart]
 
         # short reads (< 49 bp) can drive the reference extension past the
-        # read end (UB upstream); route them to the host path
-        overflow = overflow | ((lens > 0) & (lens < 49))
+        # read end (UB upstream); route them to the host path, as well as
+        # reads whose 0.4*len threshold exceeds the 7-bit diffs field of
+        # the packed event meta (len >= 320)
+        overflow = overflow | ((lens > 0) & (lens < 49)) | (thr > 127)
         # two transfer-friendly outputs: the event stream and per-unit
         # count|overflow flags (the device->host link prefers few small
         # messages)
@@ -608,10 +607,12 @@ class TpuMappingEngine(MappingEngine):
                 add(ri, 1, "r", not conv, r1, strand_code("-", conv))
         self._run_units(units)
 
-    def _seeds(self, pread, packed, sc, res, key=None):
+    def _seeds(self, pread, sc, res, key=None):
         ev = self._cache.get(key, None) if key is not None else None
         if ev is None:
-            process_seeds(self.view, pread, packed, sc, res)
+            from .seeds import pack_read
+
+            process_seeds(self.view, pread, pack_read(pread), sc, res)
             return
         ev_pos, ev_diffs, ev_rank, c = ev
         replay_events(res, sc, ev_pos, ev_diffs, ev_rank, c, self.o_spec)
@@ -660,16 +661,18 @@ class EventReplayEngine(MappingEngine):
     def __init__(self, *args, **kwargs):
         MappingEngine.__init__(self, *args, **kwargs)
         self._cache = {}
-        self.o_spec = max(WINDOW_SIZE, 128 >> 1)
+        self.o_spec = o_spec_for(128)
 
     def set_cache(self, cache, o_spec):
         self._cache = cache
         self.o_spec = o_spec
 
-    def _seeds(self, pread, packed, sc, res, key=None):
+    def _seeds(self, pread, sc, res, key=None):
         ev = self._cache.get(key, None) if key is not None else None
         if ev is None:
-            process_seeds(self.view, pread, packed, sc, res)
+            from .seeds import pack_read
+
+            process_seeds(self.view, pread, pack_read(pread), sc, res)
             return
         ev_pos, ev_diffs, ev_rank, c = ev
         replay_events(res, sc, ev_pos, ev_diffs, ev_rank, c, self.o_spec)
