@@ -101,3 +101,26 @@ def test_bam_output_roundtrip(tmp_path, trex1_index):
         assert qname == g[0] and flag == int(g[1])
         assert refs[refid][0] == g[2] and pos0 + 1 == int(g[3])
         assert cigar == g[5] and seq == g[9]
+
+
+def test_json_stats_format():
+    """-j output must match nlohmann's (alphabetical keys, compact);
+    validated byte-for-byte against the reference binary."""
+    from abismal_tpu.map.stats import SEStats, PEStats, stats_to_json
+
+    s = SEStats()
+    s.total_reads = 120
+    s.reads_mapped_unique = 100
+    s.reads_mapped_ambiguous = 5
+    s.reads_skipped = 1
+    s.edit_distance = 321
+    s.total_bases = 11804
+    assert stats_to_json(s) == (
+        '{"edit_distance":321,"reads_mapped_ambiguous":5,'
+        '"reads_mapped_unique":100,"reads_skipped":1,"total_bases":11804,'
+        '"total_reads":120}')
+    p = PEStats()
+    p.read_pair_stats.total_reads = 2
+    j = stats_to_json(p)
+    assert j.startswith('{"end1_stats":')
+    assert '"read_pair_stats":' in j
