@@ -203,9 +203,9 @@ def _sorted_bucket_fill(keys: np.ndarray, pos: np.ndarray, suffix_fn,
     For large genomes the sort runs over key-range groups (buckets are the
     primary key, so groups concatenate in order), bounding the memory used
     by the packed suffix keys."""
-    counts = np.bincount(keys, minlength=n_buckets)
+    counts = np.bincount(keys, minlength=n_buckets).astype(np.uint32)
     counter = np.zeros(n_buckets + 1, dtype=np.uint32)
-    cum = np.cumsum(counts)
+    cum = np.cumsum(counts, dtype=np.uint32)
     counter[1:] = cum
 
     n = pos.shape[0]
@@ -290,9 +290,12 @@ def _build_from_genome(genome: np.ndarray, cl) -> "AbismalIndex":
     incl = included_mask(n, exclude)
 
     # pass 1: unmasked bucket sizes (AbismalIndex.cpp:333-436)
-    cnt2 = np.bincount(k2[incl[:lim2]], minlength=N_BUCKETS_TWO)
-    cnt3t = np.bincount(k3t[incl[:lim3]], minlength=N_BUCKETS_THREE)
-    cnt3a = np.bincount(k3a[incl[:lim3]], minlength=N_BUCKETS_THREE)
+    cnt2 = np.bincount(k2[incl[:lim2]], minlength=N_BUCKETS_TWO).astype(
+        np.uint32)
+    cnt3t = np.bincount(k3t[incl[:lim3]], minlength=N_BUCKETS_THREE).astype(
+        np.uint32)
+    cnt3a = np.bincount(k3a[incl[:lim3]], minlength=N_BUCKETS_THREE).astype(
+        np.uint32)
 
     # two- vs three-letter classification (AbismalIndex.cpp:471-543) runs
     # over the block decomposition, which does cover interval ends:
@@ -300,21 +303,19 @@ def _build_from_genome(genome: np.ndarray, cl) -> "AbismalIndex":
     itl = np.zeros(n, dtype=np.uint8)
     m = covered_mask(n, exclude)[:lim2]
     covered = np.flatnonzero(m)
-    itl[covered] = (
-        cnt2[k2[covered]] <= ((cnt3t[k3t[covered]] + cnt3a[k3a[covered]]) >> 1)
-    )
+    # three_letter_cost sums in 64 bits (AbismalIndex.cpp:417-420)
+    three_cost = (cnt3t[k3t[covered]].astype(np.uint64)
+                  + cnt3a[k3a[covered]]) >> np.uint64(1)
+    itl[covered] = cnt2[k2[covered]] <= three_cost
 
     # seed-selection DP per block (AbismalIndex.cpp:643-855)
     keep = np.zeros(n, dtype=np.uint8)
     blocks = get_block_bounds(0, 1_000_000, lim2, exclude)
     bstarts = np.asarray([b[0] for b in blocks], dtype=np.int64)
     bends = np.asarray([b[1] for b in blocks], dtype=np.int64)
-    c2_u32 = cnt2.astype(np.uint32)
-    c3t_u32 = cnt3t.astype(np.uint32)
-    c3a_u32 = cnt3a.astype(np.uint32)
     get_lib().compress_dp_blocks(
-        nibbles.ctypes.data, c2_u32.ctypes.data, c3t_u32.ctypes.data,
-        c3a_u32.ctypes.data, itl.ctypes.data, bstarts.ctypes.data,
+        nibbles.ctypes.data, cnt2.ctypes.data, cnt3t.ctypes.data,
+        cnt3a.ctypes.data, itl.ctypes.data, bstarts.ctypes.data,
         bends.ctypes.data, len(blocks), WINDOW_SIZE, keep.ctypes.data,
     )
 
