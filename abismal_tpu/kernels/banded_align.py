@@ -142,7 +142,8 @@ def prepare_jobs(genome_nib: np.ndarray, jobs, lp: int = 128, jb: int = 16):
     bw = np.ones((j_pad, 1), dtype=np.int32)
     qsz = np.zeros((j_pad, 1), dtype=np.int32)
     for i, (q, diffs, max_diffs, t_pos) in enumerate(jobs):
-        b = min(BW_MAX, 2 * min(diffs, max_diffs) + 1)
+        b = 2 * min(diffs, max_diffs) + 1
+        b = BW_MAX if b < 0 else min(BW_MAX, b)
         t_beg = t_pos - (b - 1) // 2
         length = q.shape[0]
         q_shift[i, b : b + length] = q

@@ -54,6 +54,15 @@ def make_default_cigar(length: int):
     return [length << CIGAR_SHIFT]  # '<len>M'
 
 
+def band_width(diffs: int, max_diffs: int) -> int:
+    """Band width 2*min(diffs, max_diffs)+1 capped at BANDWIDTH.  IUPAC
+    genome codes can make Hamming 'distances' negative (multiple nibble
+    bits match); the reference casts the negative value to size_t before
+    min(), so the full band wins (AbismalAlign.hpp:332-334)."""
+    b = 2 * min(diffs, max_diffs) + 1
+    return BANDWIDTH if b < 0 else min(BANDWIDTH, b)
+
+
 class BandedAligner:
     """Holds the score/traceback band for one thread of mapping
     (AbismalAlign.hpp:104-148).  Uses the native implementation by default;
@@ -91,7 +100,7 @@ class BandedAligner:
         if diffs == 0:
             self._tb_result = None
             return best_single_score(q_sz)
-        bandwidth = min(self.bw, 2 * min(diffs, max_diffs) + 1)
+        bandwidth = band_width(diffs, max_diffs)
         q = np.ascontiguousarray(qseq)
         if not do_traceback:
             return int(self.native.banded_align_score(
@@ -125,7 +134,7 @@ class BandedAligner:
         if diffs == 0:
             return best_single_score(q_sz)
 
-        bandwidth = min(self.bw, 2 * min(diffs, max_diffs) + 1)
+        bandwidth = band_width(diffs, max_diffs)
         self._bandwidth = bandwidth
         t_shift = q_sz + bandwidth
         t_beg = t_pos - (bandwidth - 1) // 2
@@ -193,7 +202,7 @@ class BandedAligner:
                 return make_default_cigar(self.q_sz), self.q_sz, t_pos
             return self._tb_result
         q_sz = self.q_sz
-        bandwidth = min(self.bw, 2 * min(diffs, max_diffs) + 1)
+        bandwidth = band_width(diffs, max_diffs)
         t_shift = q_sz + bandwidth
         flat = self.table[:t_shift, :bandwidth].reshape(-1)
         best_cell = int(np.argmax(flat))

@@ -412,7 +412,10 @@ def build_stage1(lmax: int, max_candidates: int, n_index2: int,
         overflow = overflow | (dropped > 0)
         gdest_c = jnp.where(ok, gdest, gcap)
         rank = cell_of * SLOT + slot
-        meta = (d.astype(jnp.uint32) << 25) | rank.astype(jnp.uint32)
+        # diffs biased by +128 into an 8-bit field (IUPAC genome codes can
+        # drive the popcount distance negative); rank uses the low 24 bits
+        meta = (((d + 128).astype(jnp.uint32)) << 24) | rank.astype(
+            jnp.uint32)
         gpos = jnp.zeros(gcap + 1, dtype=jnp.uint32).at[gdest_c].set(pos)
         gmeta = jnp.zeros(gcap + 1, dtype=jnp.uint32).at[gdest_c].set(
             jnp.where(ok, meta, 0))
@@ -427,7 +430,7 @@ def build_stage1(lmax: int, max_candidates: int, n_index2: int,
         # read end (UB upstream); route them to the host path, as well as
         # reads whose 0.4*len threshold exceeds the 7-bit diffs field of
         # the packed event meta (len >= 320)
-        overflow = overflow | ((lens > 0) & (lens < 49)) | (thr > 127)
+        overflow = overflow | ((lens > 0) & (lens < 49)) | (thr > 126)
         # two transfer-friendly outputs: the event stream and per-unit
         # count|overflow flags (the device->host link prefers few small
         # messages)
@@ -543,8 +546,8 @@ class TpuMappingEngine(MappingEngine):
             overflow = (cf >> 30) != 0
             gpos, gmeta = ev[0], ev[1]
             prefix = np.concatenate(([0], np.cumsum(count)))
-            diffs_all = (gmeta >> 25).astype(np.int32)
-            rank_all = (gmeta & 0x1FFFFFF).astype(np.int32)
+            diffs_all = (gmeta >> 24).astype(np.int32) - 128
+            rank_all = (gmeta & 0xFFFFFF).astype(np.int32)
             for i, u in enumerate(chunk):
                 self.n_units += 1
                 if overflow[i]:
