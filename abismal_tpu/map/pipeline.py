@@ -621,10 +621,22 @@ class TpuMappingEngine(MappingEngine):
         replay_events(res, sc, ev_pos, ev_diffs, ev_rank, c, self.o_spec)
 
 
+_engine_memo = {}
+
+
 def make_tpu_engine_factory(lmax: int = 128, unit_batch: int = 1024):
     def factory(index, allow_ambig, valid_frac, pe_min_dist, pe_max_dist):
-        return TpuMappingEngine(index, allow_ambig, valid_frac, pe_min_dist,
-                                pe_max_dist, lmax=lmax, unit_batch=unit_batch)
+        # engine construction uploads ~700 MB of index tables; reuse the
+        # engine across run_map calls for the same index/parameters
+        key = (id(index), allow_ambig, valid_frac, pe_min_dist, pe_max_dist,
+               lmax, unit_batch)
+        eng = _engine_memo.get(key)
+        if eng is None:
+            eng = TpuMappingEngine(index, allow_ambig, valid_frac,
+                                   pe_min_dist, pe_max_dist, lmax=lmax,
+                                   unit_batch=unit_batch)
+            _engine_memo[key] = eng
+        return eng
 
     factory.is_tpu = True
     return factory

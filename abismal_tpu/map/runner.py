@@ -167,13 +167,13 @@ def run_map_hybrid(index, reads_file1, reads_file2, out_path, command_line,
     """Device stage-1 in this process; sequential decide/align/format in
     forked workers; output written in global batch order (deterministic and
     byte-identical to the sequential engines)."""
-    from .pipeline import TpuMappingEngine
+    from .pipeline import make_tpu_engine_factory
 
     paired = reads_file2 is not None
     a_rich_mode = a_rich or pbat
 
-    dev_engine = TpuMappingEngine(index, allow_ambig, valid_frac,
-                                  pe_min_dist, pe_max_dist)
+    dev_engine = make_tpu_engine_factory()(index, allow_ambig, valid_frac,
+                                           pe_min_dist, pe_max_dist)
 
     import multiprocessing as mp
 
