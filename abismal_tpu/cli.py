@@ -126,6 +126,9 @@ def cmd_map(argv):
     p.add_argument("--engine", choices=["exact", "tpu"], default="exact",
                    help="mapping engine: exact host oracle or the TPU "
                         "device pipeline")
+    p.add_argument("--lmax", type=int, default=128,
+                   help="padded read length for the device pipeline; reads "
+                        "longer than this use the host path")
     p.add_argument("reads_files", nargs="+")
     a = p.parse_args(argv)
 
@@ -136,6 +139,9 @@ def cmd_map(argv):
     if len(a.reads_files) > 2:
         print("expected <reads-fq1> [<reads-fq2>]", file=sys.stderr)
         return 0
+    if a.engine == "tpu" and a.lmax < 64:
+        print("--lmax must be at least 64", file=sys.stderr)
+        return 1
 
     from .index.serialize import read_index
     from .map.engine import run_map
@@ -160,7 +166,7 @@ def cmd_map(argv):
     if a.engine == "tpu":
         from .map.pipeline import make_tpu_engine_factory
 
-        engine_factory = make_tpu_engine_factory()
+        engine_factory = make_tpu_engine_factory(lmax=a.lmax)
 
     run_map(
         index, a.reads_files[0], reads2, a.outfile,
