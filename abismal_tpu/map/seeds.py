@@ -32,9 +32,6 @@ from ..utils.dna import (
     NIBBLE_TO_THREE_GA,
 )
 
-_POPCNT16 = np.array([bin(i).count("1") for i in range(65536)], dtype=np.uint8)
-
-
 def popcount_u64(x: np.ndarray) -> np.ndarray:
     return np.bitwise_count(x).astype(np.int32)
 
