@@ -503,15 +503,14 @@ class TpuMappingEngine(MappingEngine):
         self.n_units = 0
 
     # --- batch preparation -------------------------------------------------
-    def _run_units(self, units):
-        """units: list of (key, pread_nibbles, is_ga).  Fills self._cache
-        with either event tuples or None (host fallback)."""
-        self._cache = {}
-        if not units:
-            return
-        jax, _ = _jm()
-        B = self.unit_batch
+    def _dispatch_units(self, units):
+        """units: list of (key, pread_nibbles, is_ga).  Dispatches the
+        device work asynchronously; returns a handle for _collect_units."""
+        pre_cache = {}
         pending = []  # (chunk, device outputs) -- dispatch all, pull later
+        if not units:
+            return pre_cache, pending
+        B = self.unit_batch
         for start in range(0, len(units), B):
             chunk = units[start : start + B]
             reads = [u[1] for u in chunk]
@@ -520,7 +519,7 @@ class TpuMappingEngine(MappingEngine):
                 keep = [u for u in chunk if u[1].shape[0] <= self.lmax]
                 for u in chunk:
                     if u[1].shape[0] > self.lmax:
-                        self._cache[u[0]] = None
+                        pre_cache[u[0]] = None
                 chunk = keep
                 reads = [u[1] for u in chunk]
                 if not chunk:
@@ -538,7 +537,12 @@ class TpuMappingEngine(MappingEngine):
             thr = ((2 * lens.astype(np.int64)) // 5).astype(np.int32)
             pending.append((chunk, self.stage1(
                 *self.dev.tables(), preads, packed, wmask, lens, is_ga, thr)))
+        return pre_cache, pending
 
+    def _collect_units(self, dispatched):
+        """Pulls dispatched device results into an event-cache dict."""
+        pre_cache, pending = dispatched
+        cache = dict(pre_cache)
         for chunk, (ev_dev, cf_dev) in pending:
             ev = np.asarray(ev_dev)
             cf = np.asarray(cf_dev)
@@ -552,14 +556,18 @@ class TpuMappingEngine(MappingEngine):
                 self.n_units += 1
                 if overflow[i]:
                     self.n_fallback += 1
-                    self._cache[u[0]] = None
+                    cache[u[0]] = None
                 else:
                     s, e = int(prefix[i]), int(prefix[i + 1])
-                    self._cache[u[0]] = (
+                    cache[u[0]] = (
                         gpos[s:e], diffs_all[s:e], rank_all[s:e], e - s
                     )
+        return cache
 
-    def _prepare_batch_se(self, reads, a_rich_mode, random_pbat):
+    def _run_units(self, units):
+        self._cache = self._collect_units(self._dispatch_units(units))
+
+    def _se_units(self, reads, a_rich_mode, random_pbat):
         from ..utils.dna import revcomp_str
 
         units = []
@@ -585,9 +593,12 @@ class TpuMappingEngine(MappingEngine):
                               get_conv_is_ga(strand_code("-", True))))
                 units.append(((ri, "r", True), prep_read(rc, True),
                               get_conv_is_ga(strand_code("-", False))))
-        self._run_units(units)
+        return units
 
-    def _prepare_batch_pe(self, reads1, reads2, a_rich_mode, random_pbat):
+    def _prepare_batch_se(self, reads, a_rich_mode, random_pbat):
+        self._run_units(self._se_units(reads, a_rich_mode, random_pbat))
+
+    def _pe_units(self, reads1, reads2, a_rich_mode, random_pbat):
         from ..utils.dna import revcomp_str
 
         units = []
@@ -608,7 +619,11 @@ class TpuMappingEngine(MappingEngine):
                 add(ri, 2, "r", conv, r2, strand_code("-", not conv))
                 add(ri, 2, "f", not conv, r2, strand_code("+", not conv))
                 add(ri, 1, "r", not conv, r1, strand_code("-", conv))
-        self._run_units(units)
+        return units
+
+    def _prepare_batch_pe(self, reads1, reads2, a_rich_mode, random_pbat):
+        self._run_units(self._pe_units(reads1, reads2, a_rich_mode,
+                                       random_pbat))
 
     def _seeds(self, pread, sc, res, key=None):
         ev = self._cache.get(key, None) if key is not None else None

@@ -204,20 +204,47 @@ def run_map_hybrid(index, reads_file1, reads_file2, out_path, command_line,
                     else:
                         _merge_counters(stats, st)
 
+            # two-deep batch pipeline: batch k+1's device work is
+            # dispatched before batch k's results are pulled, overlapping
+            # accelerator execution with host collection and worker decode
+            prev = None
+
+            def flush_prev(submit_fn, args_fn):
+                nonlocal prev
+                if prev is not None:
+                    payload, disp = prev
+                    cache = dev_engine._collect_units(disp)
+                    futures.append(pool.submit(submit_fn,
+                                               args_fn(payload, cache)))
+                    prev = None
+
             if not paired:
                 rl = ReadLoader(reads_file1)
+
+                def se_args(batch, cache):
+                    return (batch, a_rich_mode, random_pbat, cache,
+                            dev_engine.o_spec)
+
                 while rl:
                     batch = rl.load_batch()
+                    cur = None
                     if batch:
-                        dev_engine._prepare_batch_se(
+                        units = dev_engine._se_units(
                             batch, a_rich_mode, random_pbat)
-                        futures.append(pool.submit(_hybrid_se_batch, (
-                            batch, a_rich_mode, random_pbat,
-                            dev_engine._cache, dev_engine.o_spec)))
+                        cur = (batch, dev_engine._dispatch_units(units))
+                    flush_prev(_hybrid_se_batch, se_args)
+                    prev = cur
                     drain(max_outstanding)
+                flush_prev(_hybrid_se_batch, se_args)
             else:
                 rl1 = ReadLoader(reads_file1)
                 rl2 = ReadLoader(reads_file2)
+
+                def pe_args(payload, cache):
+                    b1, b2 = payload
+                    return (b1, b2, pbat, random_pbat, cache,
+                            dev_engine.o_spec)
+
                 while rl1 and rl2:
                     b1 = rl1.load_batch()
                     b2 = rl2.load_batch()
@@ -227,14 +254,16 @@ def run_map_hybrid(index, reads_file1, reads_file2, out_path, command_line,
                             f"{len(b1)}, batch 2: {len(b2)}. Are you sure "
                             "your paired-end inputs have the same number of "
                             "reads?")
+                    cur = None
                     if b1 or b2:
                         # PE ignores -A; conversion mode is pbat only
-                        dev_engine._prepare_batch_pe(
-                            b1, b2, pbat, random_pbat)
-                        futures.append(pool.submit(_hybrid_pe_batch, (
-                            b1, b2, pbat, random_pbat,
-                            dev_engine._cache, dev_engine.o_spec)))
+                        units = dev_engine._pe_units(b1, b2, pbat,
+                                                     random_pbat)
+                        cur = ((b1, b2), dev_engine._dispatch_units(units))
+                    flush_prev(_hybrid_pe_batch, pe_args)
+                    prev = cur
                     drain(max_outstanding)
+                flush_prev(_hybrid_pe_batch, pe_args)
             drain(0)
     finally:
         pool.shutdown()
