@@ -273,17 +273,39 @@ def mask_non_target(targets, genome: np.ndarray) -> None:
     genome[~keep] = ord("N")
 
 
-def _build_from_genome(genome: np.ndarray, cl) -> "AbismalIndex":
+def _stage(verbose: bool, label: str, t0=[None]):
+    """Stage wall-clock logging like the reference's delta_seconds timers
+    (AbismalIndex.cpp:50-58)."""
+    import sys
+    import time
+
+    if not verbose:
+        return
+    now = time.monotonic()
+    if t0[0] is not None:
+        print(f"[time: {now - t0[0]:.2f}s]", file=sys.stderr)
+    if label:
+        print(f"[{label}]", end="", file=sys.stderr, flush=True)
+        t0[0] = now
+    else:
+        t0[0] = None
+
+
+def _build_from_genome(genome: np.ndarray, cl,
+                       verbose: bool = False) -> "AbismalIndex":
     n = genome.shape[0]
 
     # clean: exclude long N runs, replace short ones (AbismalIndex.cpp:295-304)
+    _stage(verbose, "cleaning reference genome")
     exclude = [(s, e) for s, e in contiguous_n(genome) if e - s > MAX_N_COUNT]
     replace_included_n(genome, exclude)
 
+    _stage(verbose, "encoding genome")
     nibbles = encode_genome_nibbles(genome)
     genome_words = pack_nibbles_u64(nibbles)
     del genome
 
+    _stage(verbose, "computing bucket sizes")
     lim2 = n - KEY_WEIGHT + 1
     lim3 = n - KEY_WEIGHT_THREE + 1
     k2, k3t, k3a = rolling_hashes(nibbles)
@@ -300,6 +322,7 @@ def _build_from_genome(genome: np.ndarray, cl) -> "AbismalIndex":
     # two- vs three-letter classification (AbismalIndex.cpp:471-543) runs
     # over the block decomposition, which does cover interval ends:
     # two_letter_cost(c2) <= three_letter_cost(ct, ca) = (ct + ca) >> 1
+    _stage(verbose, "selecting two-letter positions")
     itl = np.zeros(n, dtype=np.uint8)
     m = covered_mask(n, exclude)[:lim2]
     covered = np.flatnonzero(m)
@@ -308,6 +331,7 @@ def _build_from_genome(genome: np.ndarray, cl) -> "AbismalIndex":
                   + cnt3a[k3a[covered]]) >> np.uint64(1)
     itl[covered] = cnt2[k2[covered]] <= three_cost
 
+    _stage(verbose, "dynamic programming to optimize seed selection")
     # seed-selection DP per block (AbismalIndex.cpp:643-855)
     keep = np.zeros(n, dtype=np.uint8)
     blocks = get_block_bounds(0, 1_000_000, lim2, exclude)
@@ -319,6 +343,7 @@ def _build_from_genome(genome: np.ndarray, cl) -> "AbismalIndex":
         bends.ctypes.data, len(blocks), WINDOW_SIZE, keep.ctypes.data,
     )
 
+    _stage(verbose, "hashing and sorting buckets")
     # pass 2: masked bucket sizes + fill + suffix sort
     keep_b = keep.view(bool)
     cm = incl[:lim2]  # the fill loops skip interval ends like the counts
@@ -343,6 +368,7 @@ def _build_from_genome(genome: np.ndarray, cl) -> "AbismalIndex":
         N_BUCKETS_THREE,
     )
 
+    _stage(verbose, "")
     return AbismalIndex(
         cl=cl, genome_words=genome_words, counter=counter,
         counter_t=counter_t, counter_a=counter_a, index=index,
@@ -353,7 +379,7 @@ def _build_from_genome(genome: np.ndarray, cl) -> "AbismalIndex":
 def create_index(genome_file: str, verbose: bool = False) -> AbismalIndex:
     """Standard index build (AbismalIndex.cpp:281-331)."""
     genome, cl = load_genome(genome_file)
-    return _build_from_genome(genome, cl)
+    return _build_from_genome(genome, cl, verbose)
 
 
 def create_index_targets(targets_file: str, genome_file: str,
@@ -367,4 +393,4 @@ def create_index_targets(targets_file: str, genome_file: str,
     for chrom, s, e in ordered:
         flat.append((cl.get_pos(chrom, s), cl.get_pos(chrom, e)))
     mask_non_target(flat, genome)
-    return _build_from_genome(genome, cl)
+    return _build_from_genome(genome, cl, verbose)
