@@ -59,10 +59,11 @@ def test_stage1_events_match_oracle(trex1_index):
                                   dev.n_index3)
 
     rng = np.random.default_rng(0)
-    # sample genuine genome substrings as fake reads
+    # sample genuine genome substrings as fake reads; 128 units shares the
+    # jit shape with the engine-parity tests (one compile in cold CI)
     nib_to_char = np.frombuffer(b"ZACMGRSVTWYHKDBN", dtype=np.uint8)
     reads = []
-    for _ in range(16):
+    for _ in range(128):
         p = int(rng.integers(40000, 900000))
         seq = nib_to_char[view.nib[p : p + 100]].tobytes()
         reads.append(seq.replace(b"Z", b"A"))
