@@ -684,9 +684,13 @@ def run_map(index, reads_file1: str, reads_file2: str | None, out_path: str,
         # parallel host runner (optionally hybrid: device stage-1 in this
         # process, decide/align in workers); output is identical to the
         # sequential path
+        extra = {}
         if engine_factory is not None and getattr(
                 engine_factory, "is_tpu", False):
             from .runner import run_map_hybrid as _runner
+
+            # forward the configured factory so --lmax/unit_batch survive
+            extra["engine_factory"] = engine_factory
         else:
             from .runner import run_map_parallel as _runner
 
@@ -694,7 +698,8 @@ def run_map(index, reads_file1: str, reads_file2: str | None, out_path: str,
             index, reads_file1, reads_file2, out_path, command_line,
             threads, a_rich=a_rich, pbat=pbat, random_pbat=random_pbat,
             allow_ambig=allow_ambig, valid_frac=valid_frac,
-            pe_min_dist=pe_min_dist, pe_max_dist=pe_max_dist, bam=bam)
+            pe_min_dist=pe_min_dist, pe_max_dist=pe_max_dist, bam=bam,
+            **extra)
         _write_stats(stats, stats_path, stats_json, paired, allow_ambig)
         return stats
 

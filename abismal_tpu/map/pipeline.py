@@ -412,9 +412,11 @@ def build_stage1(lmax: int, max_candidates: int, n_index2: int,
         overflow = overflow | (dropped > 0)
         gdest_c = jnp.where(ok, gdest, gcap)
         rank = cell_of * SLOT + slot
-        # diffs biased by +128 into an 8-bit field (IUPAC genome codes can
-        # drive the popcount distance negative); rank uses the low 24 bits
-        meta = (((d + 128).astype(jnp.uint32)) << 24) | rank.astype(
+        # diffs biased by +512 into a 10-bit field (IUPAC genome codes can
+        # drive the popcount distance down to -len, so lmax up to 512 stays
+        # in range); rank uses the low 22 bits (enough for lmax 512:
+        # 1488 cells x 128 slots)
+        meta = (((d + 512).astype(jnp.uint32)) << 22) | rank.astype(
             jnp.uint32)
         gpos = jnp.zeros(gcap + 1, dtype=jnp.uint32).at[gdest_c].set(pos)
         gmeta = jnp.zeros(gcap + 1, dtype=jnp.uint32).at[gdest_c].set(
@@ -428,9 +430,10 @@ def build_stage1(lmax: int, max_candidates: int, n_index2: int,
 
         # short reads (< 49 bp) can drive the reference extension past the
         # read end (UB upstream); route them to the host path, as well as
-        # reads whose 0.4*len threshold exceeds the 7-bit diffs field of
-        # the packed event meta (len >= 320)
-        overflow = overflow | ((lens > 0) & (lens < 49)) | (thr > 126)
+        # reads whose length or 0.4*len threshold exceeds the 10-bit biased
+        # diffs field of the packed event meta (len > 512)
+        overflow = overflow | ((lens > 0) & (lens < 49)) | (thr > 511) | (
+            lens > 512)
         # two transfer-friendly outputs: the event stream and per-unit
         # count|overflow flags (the device->host link prefers few small
         # messages)
@@ -550,8 +553,8 @@ class TpuMappingEngine(MappingEngine):
             overflow = (cf >> 30) != 0
             gpos, gmeta = ev[0], ev[1]
             prefix = np.concatenate(([0], np.cumsum(count)))
-            diffs_all = (gmeta >> 24).astype(np.int32) - 128
-            rank_all = (gmeta & 0xFFFFFF).astype(np.int32)
+            diffs_all = (gmeta >> 22).astype(np.int32) - 512
+            rank_all = (gmeta & 0x3FFFFF).astype(np.int32)
             for i, u in enumerate(chunk):
                 self.n_units += 1
                 if overflow[i]:
@@ -642,15 +645,18 @@ _engine_memo = {}
 def make_tpu_engine_factory(lmax: int = 128, unit_batch: int = 1024):
     def factory(index, allow_ambig, valid_frac, pe_min_dist, pe_max_dist):
         # engine construction uploads ~700 MB of index tables; reuse the
-        # engine across run_map calls for the same index/parameters
-        key = (id(index), allow_ambig, valid_frac, pe_min_dist, pe_max_dist,
-               lmax, unit_batch)
-        eng = _engine_memo.get(key)
-        if eng is None:
-            eng = TpuMappingEngine(index, allow_ambig, valid_frac,
-                                   pe_min_dist, pe_max_dist, lmax=lmax,
-                                   unit_batch=unit_batch)
-            _engine_memo[key] = eng
+        # engine across run_map calls for the same index/parameters.  The
+        # memo value pins the index object so a dead index's id() can never
+        # be reused by a different index and alias the old device tables.
+        key = (id(index), int(index.max_candidates), allow_ambig, valid_frac,
+               pe_min_dist, pe_max_dist, lmax, unit_batch)
+        hit = _engine_memo.get(key)
+        if hit is not None and hit[0] is index:
+            return hit[1]
+        eng = TpuMappingEngine(index, allow_ambig, valid_frac,
+                               pe_min_dist, pe_max_dist, lmax=lmax,
+                               unit_batch=unit_batch)
+        _engine_memo[key] = (index, eng)
         return eng
 
     factory.is_tpu = True

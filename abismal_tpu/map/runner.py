@@ -114,9 +114,12 @@ def run_map_parallel(index, reads_file1, reads_file2, out_path, command_line,
                             "your paired-end inputs have the same number of "
                             "reads?")
                     if b1 or b2:
+                        # PE ignores -A; conversion mode is pbat only
+                        # (abismal.cpp:2477-2480), matching run_map and
+                        # run_map_hybrid
                         futures.append(pool.submit(
                             _map_pe_batch,
-                            (b1, b2, a_rich_mode, random_pbat)))
+                            (b1, b2, pbat, random_pbat)))
                     drain(max_outstanding)
             drain(0)
     finally:
@@ -163,17 +166,20 @@ def _hybrid_pe_batch(args):
 def run_map_hybrid(index, reads_file1, reads_file2, out_path, command_line,
                    n_workers, a_rich=False, pbat=False, random_pbat=False,
                    allow_ambig=False, valid_frac=0.1, pe_min_dist=32,
-                   pe_max_dist=3000, window=3, bam=False):
+                   pe_max_dist=3000, window=3, bam=False,
+                   engine_factory=None):
     """Device stage-1 in this process; sequential decide/align/format in
     forked workers; output written in global batch order (deterministic and
     byte-identical to the sequential engines)."""
-    from .pipeline import make_tpu_engine_factory
-
     paired = reads_file2 is not None
     a_rich_mode = a_rich or pbat
 
-    dev_engine = make_tpu_engine_factory()(index, allow_ambig, valid_frac,
-                                           pe_min_dist, pe_max_dist)
+    if engine_factory is None:
+        from .pipeline import make_tpu_engine_factory
+
+        engine_factory = make_tpu_engine_factory()
+    dev_engine = engine_factory(index, allow_ambig, valid_frac,
+                                pe_min_dist, pe_max_dist)
 
     import multiprocessing as mp
 

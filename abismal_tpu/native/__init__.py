@@ -1,35 +1,42 @@
 """ctypes loader for the native host-side helper library, building it with
-g++ on first use (and rebuilding when the source is newer than the .so)."""
+g++ on first use.  The build artifact is keyed by a content hash of the
+source (never committed, never trusted by mtime), so a fresh checkout or a
+source edit always triggers a rebuild and a stale binary compiled for a
+different CPU can never be loaded."""
 
 import ctypes
+import hashlib
 import os
 import subprocess
 import threading
 
 _HERE = os.path.dirname(os.path.abspath(__file__))
-_SRC = os.path.join(_HERE, "_native.cpp")
-_SO = os.path.join(_HERE, "_native.so")
 _LOCK = threading.Lock()
-_LIB = None
+_LIBS = {}
 
 
-def _build() -> None:
-    cmd = [
-        "g++", "-std=c++17", "-O3", "-fPIC", "-shared", "-march=native",
-        "-o", _SO, _SRC,
-    ]
-    subprocess.run(cmd, check=True, capture_output=True)
+def _load(stem: str) -> ctypes.CDLL:
+    """Builds (if needed) and loads <stem>.cpp as <stem>-<srchash>.so."""
+    src = os.path.join(_HERE, stem + ".cpp")
+    with open(src, "rb") as f:
+        digest = hashlib.sha256(f.read()).hexdigest()[:16]
+    so = os.path.join(_HERE, f"{stem}-{digest}.so")
+    if not os.path.exists(so):
+        tmp = so + f".tmp{os.getpid()}"
+        cmd = [
+            "g++", "-std=c++17", "-O3", "-fPIC", "-shared", "-march=native",
+            "-pthread", "-o", tmp, src,
+        ]
+        subprocess.run(cmd, check=True, capture_output=True)
+        os.replace(tmp, so)
+    return ctypes.CDLL(so)
 
 
 def get_lib() -> ctypes.CDLL:
-    global _LIB
     with _LOCK:
-        if _LIB is not None:
-            return _LIB
-        if (not os.path.exists(_SO)
-                or os.path.getmtime(_SO) < os.path.getmtime(_SRC)):
-            _build()
-        lib = ctypes.CDLL(_SO)
+        if "_native" in _LIBS:
+            return _LIBS["_native"]
+        lib = _load("_native")
 
         lib.lcg_random_bases.restype = ctypes.c_uint32
         lib.lcg_random_bases.argtypes = [
@@ -80,5 +87,5 @@ def get_lib() -> ctypes.CDLL:
             ctypes.c_char_p, ctypes.c_char_p, ctypes.c_char_p,  # paths
         ]
 
-        _LIB = lib
-        return _LIB
+        _LIBS["_native"] = lib
+        return lib

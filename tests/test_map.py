@@ -82,6 +82,47 @@ def test_parallel_runner_parity(tmp_path, trex1_index):
     assert mst.read_text() == _read_golden("small.mstats")
 
 
+def test_parallel_runner_pe_ignores_a_rich(tmp_path, trex1_index):
+    """-A is ignored for paired-end (abismal.cpp:2477-2480); the parallel
+    runner must produce the same bytes as the sequential engine."""
+    from abismal_tpu.map.engine import run_map
+
+    fq1 = golden_path("small_pe_1.fq")
+    fq2 = golden_path("small_pe_2.fq")
+    # NB: the golden's @PG CL string (no -A) is kept; only the engine flag
+    # is exercised, which must not affect paired-end output
+    cl = ("map -s tests/small_pe.mstats -o tests/small_pe.sam "
+          "-i tests/tRex1.idx tests/small_pe_1.fq tests/small_pe_2.fq")
+    sam = tmp_path / "t.sam"
+    mst = tmp_path / "t.mstats"
+    run_map(trex1_index, fq1, fq2, str(sam), str(mst), cl, a_rich=True,
+            threads=3)
+    assert sam.read_text() == _read_golden("small_pe.sam")
+    assert mst.read_text() == _read_golden("small_pe.mstats")
+
+
+def test_hybrid_runner_receives_engine_factory(trex1_index, monkeypatch):
+    """run_map must forward the configured --lmax/unit_batch factory into
+    the hybrid runner instead of letting it rebuild defaults."""
+    import abismal_tpu.map.runner as runner_mod
+    from abismal_tpu.map.engine import run_map
+    from abismal_tpu.map.pipeline import make_tpu_engine_factory
+
+    seen = {}
+
+    def fake_hybrid(index, f1, f2, out, cl, n, engine_factory=None, **kw):
+        seen["factory"] = engine_factory
+        from abismal_tpu.map.stats import SEStats
+
+        return SEStats()
+
+    monkeypatch.setattr(runner_mod, "run_map_hybrid", fake_hybrid)
+    factory = make_tpu_engine_factory(lmax=256, unit_batch=64)
+    run_map(trex1_index, golden_path("small_1.fq"), None, "/dev/null",
+            None, "map", engine_factory=factory, threads=2)
+    assert seen["factory"] is factory
+
+
 def test_bam_output_roundtrip(tmp_path, trex1_index):
     """-B output parses back to the same records as the SAM golden."""
     from abismal_tpu.io.bam import read_bam_records

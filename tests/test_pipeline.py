@@ -80,8 +80,8 @@ def test_stage1_events_match_oracle(trex1_index):
     count = cf & 0x3FFFFFFF
     overflow = (cf >> 30) != 0
     prefix = np.concatenate(([0], np.cumsum(count)))
-    diffs_all = (gmeta >> 24).astype(np.int32) - 128
-    rank_all = (gmeta & 0xFFFFFF).astype(np.int32)
+    diffs_all = (gmeta >> 22).astype(np.int32) - 512
+    rank_all = (gmeta & 0x3FFFFF).astype(np.int32)
 
     for i, r in enumerate(reads):
         if overflow[i]:
