@@ -123,9 +123,13 @@ def cmd_map(argv):
     p.add_argument("-A", "--a-rich", action="store_true")
     p.add_argument("-t", "--threads", type=int, default=1)
     p.add_argument("-v", "--verbose", action="store_true")
-    p.add_argument("--engine", choices=["exact", "tpu"], default="exact",
-                   help="mapping engine: exact host oracle or the TPU "
-                        "device pipeline")
+    p.add_argument("--engine",
+                   choices=["native", "tpu", "exact", "tpu-replay"],
+                   default="native",
+                   help="mapping engine: native (C++ host, default), tpu "
+                        "(device stage-1 + native stage-2), exact (Python "
+                        "oracle), tpu-replay (device stage-1 + Python "
+                        "replay; debugging)")
     p.add_argument("--lmax", type=int, default=128,
                    help="padded read length for the device pipeline; reads "
                         "longer than this use the host path")
@@ -139,7 +143,7 @@ def cmd_map(argv):
     if len(a.reads_files) > 2:
         print("expected <reads-fq1> [<reads-fq2>]", file=sys.stderr)
         return 0
-    if a.engine == "tpu" and a.lmax < 64:
+    if a.engine in ("tpu", "tpu-replay") and a.lmax < 64:
         print("--lmax must be at least 64", file=sys.stderr)
         return 1
 
@@ -163,7 +167,16 @@ def cmd_map(argv):
     reads2 = a.reads_files[1] if len(a.reads_files) == 2 else None
 
     engine_factory = None
-    if a.engine == "tpu":
+    if a.engine == "native":
+        from .map.pipeline import make_native_engine_factory
+
+        engine_factory = make_native_engine_factory(n_threads=a.threads)
+    elif a.engine == "tpu":
+        from .map.pipeline import make_tpu_native_engine_factory
+
+        engine_factory = make_tpu_native_engine_factory(
+            lmax=a.lmax, n_threads=a.threads)
+    elif a.engine == "tpu-replay":
         from .map.pipeline import make_tpu_engine_factory
 
         engine_factory = make_tpu_engine_factory(lmax=a.lmax)

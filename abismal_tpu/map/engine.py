@@ -680,6 +680,22 @@ def run_map(index, reads_file1: str, reads_file2: str | None, out_path: str,
 
     paired = reads_file2 is not None
 
+    if engine_factory is not None and getattr(engine_factory, "is_native",
+                                              False):
+        # native/TPU-native engines thread internally and use the
+        # dispatch/finish pipeline loop (single process)
+        from .native_engine import run_map_pipelined
+
+        engine = engine_factory(index, allow_ambig, valid_frac, pe_min_dist,
+                                pe_max_dist)
+        engine.n_threads = max(1, threads)
+        stats = run_map_pipelined(
+            engine, index, reads_file1, reads_file2, out_path, command_line,
+            a_rich=a_rich, pbat=pbat, random_pbat=random_pbat, bam=bam,
+            verbose=verbose)
+        _write_stats(stats, stats_path, stats_json, paired, allow_ambig)
+        return stats
+
     if threads > 1:
         # parallel host runner (optionally hybrid: device stage-1 in this
         # process, decide/align in workers); output is identical to the

@@ -1,0 +1,232 @@
+"""Python driver for the native batched mapping engine (_engine.cpp).
+
+The native library implements the complete per-read decide/align/format
+stage (candidate heaps, banded alignment, PE mating, SAM records, stats)
+plus a full native seeding path, multithreaded over the reads of a batch
+with read-order output (deterministic at any thread count).  This class
+feeds it read batches and, optionally, device stage-1 event streams; the
+companion `TpuNativeEngine` in pipeline.py supplies those events from the
+accelerator.
+
+Semantics are identical to the Python `MappingEngine` oracle (engine.py),
+which is parity-validated byte-for-byte against the reference
+(src/abismal.cpp:1435-2185)."""
+
+from __future__ import annotations
+
+import ctypes
+
+import numpy as np
+
+from ..constants import (
+    PE_MAX_DIST_DEFAULT,
+    PE_MIN_DIST_DEFAULT,
+    VALID_FRAC_DEFAULT,
+)
+from ..io.fastq import ReadLoader
+from ..io.sam import make_sam_header
+from .stats import PEStats, SEStats
+
+_SE_FIELDS = ("total_reads", "reads_mapped_unique", "reads_mapped_ambiguous",
+              "reads_skipped", "edit_distance", "total_bases")
+
+
+def _blob(items):
+    """list of bytes -> (blob ascii array, int64 offsets)."""
+    offs = np.zeros(len(items) + 1, dtype=np.int64)
+    for i, it in enumerate(items):
+        offs[i + 1] = offs[i] + len(it)
+    blob = np.frombuffer(b"".join(items), dtype=np.uint8)
+    if blob.size == 0:
+        blob = np.zeros(1, dtype=np.uint8)
+    return blob, offs
+
+
+def _ptr(a):
+    return a.ctypes.data if a is not None else None
+
+
+class NativeMappingEngine:
+    """Drop-in engine for run_map: map_se_reads / map_pe_reads over the
+    native library, with internal threading (`n_threads`)."""
+
+    supports_pipeline = True
+
+    def __init__(self, index, allow_ambig=False,
+                 valid_frac=VALID_FRAC_DEFAULT,
+                 pe_min_dist=PE_MIN_DIST_DEFAULT,
+                 pe_max_dist=PE_MAX_DIST_DEFAULT, n_threads: int = 1):
+        from ..native import get_engine_lib
+        from ..utils.dna import unpack_nibbles_u64
+
+        self.lib = get_engine_lib()
+        self.index = index
+        self.cl = index.cl
+        self.n_threads = max(1, n_threads)
+        self.allow_ambig = allow_ambig
+        # pinned arrays: the native context aliases their memory
+        self._nib = np.ascontiguousarray(
+            unpack_nibbles_u64(index.genome_words, index.genome_size))
+        self._words = np.ascontiguousarray(index.genome_words,
+                                           dtype=np.uint64)
+        self._c2 = np.ascontiguousarray(index.counter, dtype=np.uint32)
+        self._ct = np.ascontiguousarray(index.counter_t, dtype=np.uint32)
+        self._ca = np.ascontiguousarray(index.counter_a, dtype=np.uint32)
+        self._i2 = np.ascontiguousarray(index.index, dtype=np.uint32)
+        self._it = np.ascontiguousarray(index.index_t, dtype=np.uint32)
+        self._ia = np.ascontiguousarray(index.index_a, dtype=np.uint32)
+        self._starts = np.ascontiguousarray(index.cl.starts, dtype=np.uint64)
+        names_blob = "\n".join(index.cl.names).encode()
+        self._ctx = self.lib.engine_create(
+            _ptr(self._nib), _ptr(self._words), int(index.genome_size),
+            _ptr(self._c2), _ptr(self._ct), _ptr(self._ca),
+            _ptr(self._i2), _ptr(self._it), _ptr(self._ia),
+            int(index.max_candidates),
+            _ptr(self._starts), len(index.cl.names), names_blob,
+            int(allow_ambig), float(valid_frac), int(pe_min_dist),
+            int(pe_max_dist),
+        )
+
+    def __del__(self):
+        ctx = getattr(self, "_ctx", None)
+        if ctx:
+            self.lib.engine_destroy(ctx)
+            self._ctx = None
+
+    # ---- event plumbing (None for the pure-native engine) -----------------
+    def _event_args(self, events):
+        if events is None:
+            return (None, None, None, None, None, 0)
+        ev_pos, ev_diffs, ev_rank, start, count, boundary = events
+        return (_ptr(ev_pos), _ptr(ev_diffs), _ptr(ev_rank), _ptr(start),
+                _ptr(count), int(boundary))
+
+    # ---- batch calls -------------------------------------------------------
+    def _call_se(self, reads, a_rich_mode, random_pbat, stats, out, events):
+        names, seqs = zip(*reads) if reads else ((), ())
+        rblob, roffs = _blob(list(seqs))
+        nblob, noffs = _blob([n.encode() for n in names])
+        st = np.zeros(6, dtype=np.int64)
+        n = self.lib.engine_map_se_batch(
+            self._ctx, _ptr(rblob), _ptr(roffs), _ptr(nblob), _ptr(noffs),
+            len(reads), int(a_rich_mode), int(random_pbat),
+            *self._event_args(events), self.n_threads, _ptr(st))
+        out.write(ctypes.string_at(self.lib.engine_out_ptr(self._ctx),
+                                   n).decode())
+        for i, f in enumerate(_SE_FIELDS):
+            setattr(stats, f, getattr(stats, f) + int(st[i]))
+
+    def _call_pe(self, reads1, reads2, a_rich_mode, random_pbat, stats, out,
+                 events):
+        if len(reads1) != len(reads2):
+            raise RuntimeError(
+                f"paired-end batch sizes differ. Batch 1: {len(reads1)}, "
+                f"batch 2: {len(reads2)}. Are you sure your paired-end "
+                "inputs have the same number of reads?")
+        n1, s1 = zip(*reads1) if reads1 else ((), ())
+        n2, s2 = zip(*reads2) if reads2 else ((), ())
+        r1b, r1o = _blob(list(s1))
+        n1b, n1o = _blob([n.encode() for n in n1])
+        r2b, r2o = _blob(list(s2))
+        n2b, n2o = _blob([n.encode() for n in n2])
+        st = np.zeros(18, dtype=np.int64)
+        n = self.lib.engine_map_pe_batch(
+            self._ctx, _ptr(r1b), _ptr(r1o), _ptr(n1b), _ptr(n1o),
+            _ptr(r2b), _ptr(r2o), _ptr(n2b), _ptr(n2o),
+            len(reads1), int(a_rich_mode), int(random_pbat),
+            *self._event_args(events), self.n_threads, _ptr(st))
+        out.write(ctypes.string_at(self.lib.engine_out_ptr(self._ctx),
+                                   n).decode())
+        for blk, dst in enumerate((stats.read_pair_stats, stats.end1_stats,
+                                   stats.end2_stats)):
+            for i, f in enumerate(_SE_FIELDS):
+                setattr(dst, f, getattr(dst, f) + int(st[6 * blk + i]))
+
+    # ---- pipelined interface (dispatch/finish; no-op split here) -----------
+    def dispatch_se(self, reads, a_rich_mode, random_pbat):
+        return (reads, a_rich_mode, random_pbat, None)
+
+    def finish_se(self, handle, stats, out):
+        reads, arm, rp, events = handle
+        self._call_se(reads, arm, rp, stats, out, events)
+        return len(reads)
+
+    def dispatch_pe(self, reads1, reads2, a_rich_mode, random_pbat):
+        return (reads1, reads2, a_rich_mode, random_pbat, None)
+
+    def finish_pe(self, handle, stats, out):
+        reads1, reads2, arm, rp, events = handle
+        self._call_pe(reads1, reads2, arm, rp, stats, out, events)
+        return len(reads1)
+
+    # ---- MappingEngine-compatible entry points -----------------------------
+    def map_se_reads(self, reads, a_rich_mode, random_pbat, stats, out):
+        self._call_se(reads, a_rich_mode, random_pbat, stats, out, None)
+
+    def map_pe_reads(self, reads1, reads2, a_rich_mode, random_pbat, stats,
+                     out):
+        self._call_pe(reads1, reads2, a_rich_mode, random_pbat, stats, out,
+                      None)
+
+
+def run_map_pipelined(engine, index, reads_file1, reads_file2, out_path,
+                      command_line, a_rich=False, pbat=False,
+                      random_pbat=False, bam=False, verbose=False):
+    """Batch loop for engines with the dispatch/finish interface: batch k+1's
+    device work (if any) is dispatched before batch k is finished, so the
+    accelerator overlaps the native decide/align/format stage."""
+    import sys
+    import time as _time
+
+    from ..io.sam import open_sam_output
+
+    paired = reads_file2 is not None
+    start_time = _time.monotonic()
+    n_processed = 0
+    with open_sam_output(out_path, bam) as out:
+        out.write(make_sam_header(index.cl, command_line))
+        if not paired:
+            stats = SEStats()
+            a_rich_mode = a_rich or pbat
+            rl = ReadLoader(reads_file1)
+            prev = None
+            while rl:
+                batch = rl.load_batch()
+                cur = (engine.dispatch_se(batch, a_rich_mode, random_pbat)
+                       if batch else None)
+                if prev is not None:
+                    n_processed += engine.finish_se(prev, stats, out)
+                    if verbose:
+                        print(f"[mapped {n_processed} reads]",
+                              file=sys.stderr)
+                prev = cur
+            if prev is not None:
+                n_processed += engine.finish_se(prev, stats, out)
+        else:
+            stats = PEStats()
+            rl1 = ReadLoader(reads_file1)
+            rl2 = ReadLoader(reads_file2)
+            prev = None
+            while rl1 and rl2:
+                b1 = rl1.load_batch()
+                b2 = rl2.load_batch()
+                # PE ignores -A; conversion mode is pbat only
+                cur = (engine.dispatch_pe(b1, b2, pbat, random_pbat)
+                       if (b1 or b2) else None)
+                if prev is not None:
+                    n_processed += engine.finish_pe(prev, stats, out)
+                    if verbose:
+                        print(f"[mapped {n_processed} read pairs]",
+                              file=sys.stderr)
+                prev = cur
+            if prev is not None:
+                n_processed += engine.finish_pe(prev, stats, out)
+
+    if verbose:
+        fb = getattr(engine, "n_fallback", None)
+        if fb is not None:
+            print(f"[device stage-1 fallback units: {fb}/"
+                  f"{getattr(engine, 'n_units', 0)}]", file=sys.stderr)
+        print(f"[total mapping time: "
+              f"{_time.monotonic() - start_time:.2f}s]", file=sys.stderr)
+    return stats

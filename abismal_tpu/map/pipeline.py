@@ -639,7 +639,217 @@ class TpuMappingEngine(MappingEngine):
         replay_events(res, sc, ev_pos, ev_diffs, ev_rank, c, self.o_spec)
 
 
+class TpuNativeEngine:
+    """Flagship engine: device stage-1 candidate generation feeding the
+    native batched decide/align/format stage (_engine.cpp).
+
+    Implements the dispatch/finish pipeline interface: the stage-1 program
+    for batch k+1 is dispatched to the accelerator before batch k's events
+    are collected and handed to the native library, overlapping device and
+    host work.  Units whose device events overflowed (or reads longer than
+    lmax) are re-seeded natively inside the library, so output stays exactly
+    byte-identical to the reference at any fallback rate."""
+
+    supports_pipeline = True
+
+    def __init__(self, index, allow_ambig=False, valid_frac=0.1,
+                 pe_min_dist=32, pe_max_dist=3000, lmax: int = 128,
+                 unit_batch: int = 1024, n_threads: int = 1,
+                 device_put=None):
+        from .native_engine import NativeMappingEngine
+
+        self.native = NativeMappingEngine(index, allow_ambig, valid_frac,
+                                          pe_min_dist, pe_max_dist,
+                                          n_threads=n_threads)
+        self.lmax = lmax
+        self.unit_batch = unit_batch
+        self.dev = DeviceIndex(index, device_put)
+        self.stage1, self.o_spec = build_stage1(
+            lmax, self.dev.max_candidates, self.dev.n_index2,
+            self.dev.n_index3)
+        self.n_fallback = 0
+        self.n_units = 0
+
+    @property
+    def n_threads(self):
+        return self.native.n_threads
+
+    @n_threads.setter
+    def n_threads(self, v):
+        self.native.n_threads = max(1, v)
+
+    # --- flat unit enumeration (canonical ids shared with _engine.cpp) ----
+    def _se_units_flat(self, reads, a_rich_mode, random_pbat):
+        from ..utils.dna import revcomp_str
+
+        units = []
+        per = 4 if random_pbat else 2
+        for ri, (_, read) in enumerate(reads):
+            if not read:
+                continue
+            if not random_pbat:
+                conv = a_rich_mode
+                units.append((2 * ri, prep_read(read, conv),
+                              get_conv_is_ga(strand_code("+", conv))))
+                rc = revcomp_str(read.decode()).encode()
+                units.append((2 * ri + 1, prep_read(rc, not conv),
+                              get_conv_is_ga(strand_code("-", conv))))
+            else:
+                rc = revcomp_str(read.decode()).encode()
+                units.append((4 * ri, prep_read(read, False),
+                              get_conv_is_ga(strand_code("+", False))))
+                units.append((4 * ri + 1, prep_read(read, True),
+                              get_conv_is_ga(strand_code("+", True))))
+                units.append((4 * ri + 2, prep_read(rc, False),
+                              get_conv_is_ga(strand_code("-", True))))
+                units.append((4 * ri + 3, prep_read(rc, True),
+                              get_conv_is_ga(strand_code("-", False))))
+        return units, per * len(reads)
+
+    def _pe_units_flat(self, reads1, reads2, a_rich_mode, random_pbat):
+        from ..utils.dna import revcomp_str
+
+        units = []
+        per = 8 if random_pbat else 4
+        convs = [a_rich_mode] if not random_pbat else [False, True]
+
+        for ri, ((_, r1), (_, r2)) in enumerate(zip(reads1, reads2)):
+            uid = per * ri
+            for conv in convs:
+                if r1:
+                    units.append((uid, prep_read(r1, conv),
+                                  get_conv_is_ga(strand_code("+", conv))))
+                if r2:
+                    rc2 = revcomp_str(r2.decode()).encode()
+                    units.append((uid + 1, prep_read(rc2, conv),
+                                  get_conv_is_ga(strand_code("-", not conv))))
+                    units.append((uid + 2, prep_read(r2, not conv),
+                                  get_conv_is_ga(strand_code("+", not conv))))
+                if r1:
+                    rc1 = revcomp_str(r1.decode()).encode()
+                    units.append((uid + 3, prep_read(rc1, not conv),
+                                  get_conv_is_ga(strand_code("-", conv))))
+                uid += 4
+        return units, per * len(reads1)
+
+    # --- stage-1 dispatch (shared with TpuMappingEngine) -------------------
+    _dispatch_units = TpuMappingEngine._dispatch_units
+
+    def _collect_flat(self, dispatched, n_units):
+        """Pulls dispatched device results into the native engine's flat
+        event-stream format: (pos u32, diffs i32, rank i32, start i64,
+        count i64, boundary).  count < 0 routes the unit to native
+        re-seeding."""
+        pre_cache, pending = dispatched
+        start = np.zeros(n_units, dtype=np.int64)
+        count = np.full(n_units, -1, dtype=np.int64)
+        pos_parts, diff_parts, rank_parts = [], [], []
+        base = 0
+        for chunk, (ev_dev, cf_dev) in pending:
+            ev = np.asarray(ev_dev)
+            cf = np.asarray(cf_dev)
+            cnt = (cf & 0x3FFFFFFF).astype(np.int64)
+            overflow = (cf >> 30) != 0
+            gpos, gmeta = ev[0], ev[1]
+            prefix = np.concatenate(([0], np.cumsum(cnt)))
+            total = int(prefix[-1])
+            pos_parts.append(gpos[:total])
+            diff_parts.append((gmeta[:total] >> 22).astype(np.int32) - 512)
+            rank_parts.append((gmeta[:total] & 0x3FFFFF).astype(np.int32))
+            for i, u in enumerate(chunk):
+                self.n_units += 1
+                if overflow[i]:
+                    self.n_fallback += 1
+                else:
+                    start[u[0]] = base + prefix[i]
+                    count[u[0]] = cnt[i]
+            base += total
+        self.n_units += len(pre_cache)
+        self.n_fallback += len(pre_cache)
+        if pos_parts:
+            ev_pos = np.ascontiguousarray(np.concatenate(pos_parts))
+            ev_diffs = np.ascontiguousarray(np.concatenate(diff_parts))
+            ev_rank = np.ascontiguousarray(np.concatenate(rank_parts))
+        else:
+            ev_pos = np.zeros(1, dtype=np.uint32)
+            ev_diffs = np.zeros(1, dtype=np.int32)
+            ev_rank = np.zeros(1, dtype=np.int32)
+        boundary = self.o_spec * 2 * SLOT
+        return (ev_pos, ev_diffs, ev_rank, start, count, boundary)
+
+    # --- pipeline interface -------------------------------------------------
+    def dispatch_se(self, reads, a_rich_mode, random_pbat):
+        units, n_units = self._se_units_flat(reads, a_rich_mode, random_pbat)
+        return (reads, a_rich_mode, random_pbat, n_units,
+                self._dispatch_units(units))
+
+    def finish_se(self, handle, stats, out):
+        reads, arm, rp, n_units, disp = handle
+        events = self._collect_flat(disp, n_units)
+        self.native._call_se(reads, arm, rp, stats, out, events)
+        return len(reads)
+
+    def dispatch_pe(self, reads1, reads2, a_rich_mode, random_pbat):
+        units, n_units = self._pe_units_flat(reads1, reads2, a_rich_mode,
+                                             random_pbat)
+        return (reads1, reads2, a_rich_mode, random_pbat, n_units,
+                self._dispatch_units(units))
+
+    def finish_pe(self, handle, stats, out):
+        reads1, reads2, arm, rp, n_units, disp = handle
+        events = self._collect_flat(disp, n_units)
+        self.native._call_pe(reads1, reads2, arm, rp, stats, out, events)
+        return len(reads1)
+
+    # --- MappingEngine-compatible entry points ------------------------------
+    def map_se_reads(self, reads, a_rich_mode, random_pbat, stats, out):
+        self.finish_se(self.dispatch_se(reads, a_rich_mode, random_pbat),
+                       stats, out)
+
+    def map_pe_reads(self, reads1, reads2, a_rich_mode, random_pbat, stats,
+                     out):
+        self.finish_pe(
+            self.dispatch_pe(reads1, reads2, a_rich_mode, random_pbat),
+            stats, out)
+
+
 _engine_memo = {}
+
+
+def make_native_engine_factory(n_threads: int = 1):
+    """Pure-native engine: C++ seeding + decide/align/format, no device."""
+
+    def factory(index, allow_ambig, valid_frac, pe_min_dist, pe_max_dist):
+        from .native_engine import NativeMappingEngine
+
+        return NativeMappingEngine(index, allow_ambig, valid_frac,
+                                   pe_min_dist, pe_max_dist,
+                                   n_threads=n_threads)
+
+    factory.is_native = True
+    return factory
+
+
+def make_tpu_native_engine_factory(lmax: int = 128, unit_batch: int = 1024,
+                                   n_threads: int = 1):
+    """Flagship: device stage-1 + native stage-2, memoized per index."""
+
+    def factory(index, allow_ambig, valid_frac, pe_min_dist, pe_max_dist):
+        key = ("tpu-native", id(index), int(index.max_candidates),
+               allow_ambig, valid_frac, pe_min_dist, pe_max_dist, lmax,
+               unit_batch)
+        hit = _engine_memo.get(key)
+        if hit is not None and hit[0] is index:
+            hit[1].n_threads = n_threads
+            return hit[1]
+        eng = TpuNativeEngine(index, allow_ambig, valid_frac, pe_min_dist,
+                              pe_max_dist, lmax=lmax, unit_batch=unit_batch,
+                              n_threads=n_threads)
+        _engine_memo[key] = (index, eng)
+        return eng
+
+    factory.is_native = True
+    return factory
 
 
 def make_tpu_engine_factory(lmax: int = 128, unit_batch: int = 1024):

@@ -89,3 +89,50 @@ def get_lib() -> ctypes.CDLL:
 
         _LIBS["_native"] = lib
         return lib
+
+
+def get_engine_lib() -> ctypes.CDLL:
+    """The batched native mapping engine (_engine.cpp)."""
+    with _LOCK:
+        if "_engine" in _LIBS:
+            return _LIBS["_engine"]
+        lib = _load("_engine")
+
+        lib.engine_create.restype = ctypes.c_void_p
+        lib.engine_create.argtypes = [
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64,  # nib/words/sz
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,  # counters
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,  # indexes
+            ctypes.c_int64,  # max_candidates
+            ctypes.c_void_p, ctypes.c_int64,  # chrom starts, n_chroms
+            ctypes.c_char_p,  # names blob
+            ctypes.c_int, ctypes.c_double,  # allow_ambig, valid_frac
+            ctypes.c_int64, ctypes.c_int64,  # pe_min, pe_max
+        ]
+        lib.engine_destroy.restype = None
+        lib.engine_destroy.argtypes = [ctypes.c_void_p]
+
+        _ev = [
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,  # pos/d/rank
+            ctypes.c_void_p, ctypes.c_void_p,  # start/count
+            ctypes.c_int64,  # boundary
+        ]
+        lib.engine_map_se_batch.restype = ctypes.c_int64
+        lib.engine_map_se_batch.argtypes = (
+            [ctypes.c_void_p]
+            + [ctypes.c_void_p] * 4  # reads blob/offs, names blob/offs
+            + [ctypes.c_int64, ctypes.c_int, ctypes.c_int]
+            + _ev + [ctypes.c_int, ctypes.c_void_p]
+        )
+        lib.engine_map_pe_batch.restype = ctypes.c_int64
+        lib.engine_map_pe_batch.argtypes = (
+            [ctypes.c_void_p]
+            + [ctypes.c_void_p] * 8  # two ends x (reads, offs, names, offs)
+            + [ctypes.c_int64, ctypes.c_int, ctypes.c_int]
+            + _ev + [ctypes.c_int, ctypes.c_void_p]
+        )
+        lib.engine_out_ptr.restype = ctypes.c_void_p
+        lib.engine_out_ptr.argtypes = [ctypes.c_void_p]
+
+        _LIBS["_engine"] = lib
+        return lib

@@ -487,3 +487,1160 @@ struct Aligner {
 };
 
 }  // namespace
+
+namespace {
+
+// ---------------------------------------------------------------------------
+// engine context and per-thread worker state
+// ---------------------------------------------------------------------------
+struct Events {
+  const uint32_t *pos = nullptr;
+  const int32_t *diffs = nullptr;
+  const int32_t *rank = nullptr;
+  const int64_t *start = nullptr;  // per unit
+  const int64_t *count = nullptr;  // per unit; -1 => native seeding fallback
+  int64_t boundary = 0;            // o_spec * 2 * SLOT
+  bool present() const { return pos != nullptr; }
+};
+
+struct Engine {
+  const uint8_t *gnib;
+  const uint64_t *gwords;
+  int64_t gsize;
+  const uint32_t *counter2;   // 2^25 + 1
+  const uint32_t *counter_t;  // 3^16 + 1
+  const uint32_t *counter_a;
+  const uint32_t *index2, *index_t, *index_a;
+  int64_t max_candidates;
+  const uint64_t *starts;  // n_chroms + 1 entries
+  int64_t n_chroms;
+  std::vector<std::string> names;
+  bool allow_ambig;
+  double valid_frac;
+  int64_t pe_min, pe_max;
+  std::string out;
+  std::vector<struct Worker *> workers;
+};
+
+struct Worker {
+  Aligner aln;
+  SECand se, se1, se2;
+  Elem prep[SE_MAX];
+  PECand pe1, pe2;
+  std::vector<int32_t> mem_scr1;
+  std::string out;
+  int64_t st[18];
+  std::vector<uint8_t> buf[8];   // read encodings
+  std::vector<uint8_t> rcbuf[2]; // raw revcomp ASCII
+  std::vector<uint64_t> packed;  // packed read for native seeding
+  std::vector<uint32_t> k2, k3;  // rolling hash scratch
+
+  explicit Worker(const uint8_t *gnib)
+      : aln(gnib), mem_scr1(PE_MAX_LARGE, 0) {
+    std::memset(st, 0, sizeof(st));
+  }
+};
+
+inline uint32_t strand_code(bool minus, bool a_rich) {
+  return (minus ? F_RC : 0) | (a_rich ? F_A_RICH : 0);
+}
+
+inline bool conv_is_ga(uint32_t sc) {
+  // three_conv_type selection (abismal.cpp:1261-1267)
+  return ((sc & F_A_RICH) != 0) ^ ((sc & F_RC) != 0);
+}
+
+inline void encode_read(const uint8_t *ascii, int len, bool a_rich,
+                        std::vector<uint8_t> &out) {
+  const uint8_t *t = a_rich ? T.enc_a : T.enc_t;
+  out.resize(len);
+  for (int i = 0; i < len; ++i)
+    out[i] = t[ascii[i]];
+}
+
+inline void revcomp_ascii(const uint8_t *ascii, int len,
+                          std::vector<uint8_t> &out) {
+  out.resize(len);
+  for (int i = 0; i < len; ++i)
+    out[i] = T.rc[ascii[len - 1 - i]];
+}
+
+// nibbles -> u64 words, tail padded with 0xF match-any (abismal.cpp:1388-1426)
+inline int pack_read(const uint8_t *pread, int len,
+                     std::vector<uint64_t> &out) {
+  const int n_words = (len + 15) / 16;
+  out.assign(n_words, 0);
+  for (int i = 0; i < len; ++i)
+    out[i >> 4] |= (uint64_t)pread[i] << (4 * (i & 15));
+  const int tail = n_words * 16 - len;
+  if (tail)
+    out[n_words - 1] |= ~0ull << (4 * (len & 15));
+  return n_words;
+}
+
+// ---------------------------------------------------------------------------
+// native seeding (seeds.py port; abismal.cpp:1090-1375)
+// ---------------------------------------------------------------------------
+
+// Hamming distance of the packed read vs the genome window at pos
+// (abismal.cpp:1105-1122)
+inline int32_t full_compare(const Engine &E, const uint64_t *packed,
+                            int n_words, uint32_t pos) {
+  const int64_t w = pos >> 4;
+  const uint64_t sh = (uint64_t)(pos & 15) * 4;
+  int32_t d = 0;
+  for (int j = 0; j < n_words; ++j) {
+    const uint64_t g1 = E.gwords[w + j];
+    const uint64_t g2 = E.gwords[w + j + 1];
+    const uint64_t merged = (g1 >> sh) | ((g2 << (63 - sh)) << 1);
+    d += 16 - __builtin_popcountll(packed[j] & merged);
+  }
+  return d;
+}
+
+template <class Cand>
+void check_hits(const Engine &E, const uint64_t *packed, int n_words,
+                int offset, const uint32_t *bucket, int64_t cnt, uint32_t sc,
+                Cand &res) {
+  // compare candidates in bucket order and feed the candidate set
+  // (abismal.cpp:1124-1150)
+  if (cnt == 0 || res.sure_ambig)
+    return;
+  for (int64_t i = 0; i < cnt; ++i) {
+    if (res.sure_ambig)
+      break;
+    const uint32_t pos = bucket[i] - (uint32_t)offset;
+    const int32_t d = full_compare(E, packed, n_words, pos);
+    if (d <= res.cutoff)
+      res.update(true, d, sc, pos);
+  }
+}
+
+// binary-search seed extension in a suffix-sorted two-letter bucket
+// (abismal.cpp:1163-1194)
+inline void find_candidates_two(const Engine &E, const uint8_t *pread,
+                                int offset, int read_lim, int64_t &lo,
+                                int64_t &hi, int &p_out) {
+  const int64_t max_c = E.max_candidates;
+  int p = KEY_WEIGHT;
+  int64_t prev_lo = lo, prev_hi = hi;
+  while (p != read_lim && (hi - lo) > max_c) {
+    prev_lo = lo;
+    prev_hi = hi;
+    int64_t a = lo, b = hi;
+    while (a < b) {
+      const int64_t mid = (a + b) >> 1;
+      if (T.bit[E.gnib[E.index2[mid] + p]] < 1)
+        a = mid + 1;
+      else
+        b = mid;
+    }
+    if (T.bit[pread[offset + p]])
+      lo = a;
+    else
+      hi = a;
+    ++p;
+  }
+  if (lo == hi) {
+    --p;
+    lo = prev_lo;
+    hi = prev_hi;
+  }
+  p_out = p;
+}
+
+// three-letter variant with two lower_bounds (abismal.cpp:1214-1259)
+inline void find_candidates_three(const Engine &E, const uint8_t *pread,
+                                  int offset, int read_lim, int64_t &lo,
+                                  int64_t &hi, int &p_out, bool is_ga) {
+  const int64_t max_c = E.max_candidates;
+  const uint32_t *index = is_ga ? E.index_a : E.index_t;
+  const uint8_t mask = is_ga ? 10 : 5;
+  const uint8_t v1 = is_ga ? 2 : 1, v2 = is_ga ? 8 : 4;
+  int p = KEY_WEIGHT_THREE;
+  int64_t prev_lo = lo, prev_hi = hi;
+  auto lower_bound = [&](int64_t a, int64_t b, uint8_t val, int pp) {
+    while (a < b) {
+      const int64_t mid = (a + b) >> 1;
+      if ((E.gnib[index[mid] + pp] & mask) < val)
+        a = mid + 1;
+      else
+        b = mid;
+    }
+    return a;
+  };
+  while (p != read_lim && (hi - lo) > max_c) {
+    prev_lo = lo;
+    prev_hi = hi;
+    const int64_t first_1 = lower_bound(lo, hi, v1, p);
+    const int64_t first_2 = lower_bound(lo, hi, v2, p);
+    const uint8_t num = pread[offset + p] & mask;
+    if (num == 0)
+      hi = first_1;
+    else if (num == v1) {
+      lo = first_1;
+      hi = first_2;
+    }
+    else
+      lo = first_2;
+    ++p;
+  }
+  if (lo == hi) {
+    --p;
+    lo = prev_lo;
+    hi = prev_hi;
+  }
+  p_out = p;
+}
+
+// two-phase seeding policy (abismal.cpp:1269-1375 / seeds.py:220-283)
+template <class Cand>
+void process_seeds(const Engine &E, Worker &w, const uint8_t *pread, int len,
+                   uint32_t sc, Cand &res) {
+  const bool is_ga = conv_is_ga(sc);
+  const uint32_t *counter3 = is_ga ? E.counter_a : E.counter_t;
+  const uint32_t *index3 = is_ga ? E.index_a : E.index_t;
+  const uint8_t *three = is_ga ? T.three_ga : T.three_ct;
+  const int64_t max_c = E.max_candidates;
+  const int n_words = pack_read(pread, len, w.packed);
+  const uint64_t *packed = w.packed.data();
+
+  // rolling hashes for every seed offset (seeds.py read_hashes)
+  const int lim2 = len - KEY_WEIGHT + 1;
+  const int lim3 = len - KEY_WEIGHT_THREE + 1;
+  w.k2.assign(std::max(lim2, 0), 0);
+  w.k3.assign(std::max(lim3, 0), 0);
+  {
+    uint32_t k = 0;
+    for (int j = 0; j < len; ++j) {
+      k = ((k << 1) | T.bit[pread[j]]) & HASH_MASK;
+      if (j >= KEY_WEIGHT - 1)
+        w.k2[j - (KEY_WEIGHT - 1)] = k;
+    }
+    uint32_t k3 = 0;
+    for (int j = 0; j < len; ++j) {
+      k3 = (k3 * 3 + three[pread[j]]) % HASH3_MOD;
+      if (j >= KEY_WEIGHT_THREE - 1)
+        w.k3[j - (KEY_WEIGHT_THREE - 1)] = k3;
+    }
+  }
+
+  const int specific_len = std::min(len - WINDOW_SIZE, len >> 1);
+  const int specific_lim = std::max(WINDOW_SIZE, len >> 1);
+
+  // --- specific phase ---
+  res.set_specific();
+  for (int i = 0; i < specific_lim; ++i) {
+    if (res.sure_ambig)
+      break;
+    const uint32_t kk = (i < lim2) ? w.k2[i] : 0;
+    int64_t s2 = E.counter2[kk], e2 = E.counter2[kk + 1];
+    int l_two;
+    find_candidates_two(E, pread, i, len - i, s2, e2, l_two);
+    const int64_t d_two = e2 - s2;
+    const uint32_t kk3 = (i < lim3) ? w.k3[i] : 0;
+    int64_t s3 = counter3[kk3], e3 = counter3[kk3 + 1];
+    int l_three;
+    find_candidates_three(E, pread, i, len - i, s3, e3, l_three, is_ga);
+    const int64_t d_three = e3 - s3;
+
+    if (d_two <= max_c || l_two >= specific_len)
+      check_hits(E, packed, n_words, i, E.index2 + s2, d_two, sc, res);
+    if (d_three <= max_c || l_three >= specific_len)
+      check_hits(E, packed, n_words, i, index3 + s3, d_three, sc, res);
+  }
+
+  if (!res.should_do_sensitive())
+    return;
+
+  // --- sensitive phase ---
+  res.set_sensitive();
+  for (int i = 0; i < lim2; ++i) {
+    if (res.sure_ambig)
+      break;
+    const uint32_t kk = w.k2[i];
+    const int64_t s2 = E.counter2[kk], e2 = E.counter2[kk + 1];
+    const int64_t d_two = e2 - s2;
+    const uint32_t kk3 = w.k3[i];
+    const int64_t s3 = counter3[kk3], e3 = counter3[kk3 + 1];
+    const int64_t d_three = e3 - s3;
+
+    if (d_two != 0 && d_two <= max_c
+        && (d_three == 0 || d_two <= MIN_FOLD_SIZE * d_three))
+      check_hits(E, packed, n_words, i, E.index2 + s2, d_two, sc, res);
+    if (d_three != 0 && d_three <= max_c)
+      check_hits(E, packed, n_words, i, index3 + s3, d_three, sc, res);
+  }
+}
+
+// device-event replay (pipeline.py replay_events; abismal.cpp:1269-1375)
+template <class Cand>
+void replay_events(const Events &ev, int64_t u, uint32_t sc, Cand &res) {
+  const int64_t s = ev.start[u], c = ev.count[u];
+  res.set_specific();
+  int64_t i = 0;
+  while (i < c && ev.rank[s + i] < ev.boundary) {
+    if (res.sure_ambig)
+      break;
+    const int32_t d = ev.diffs[s + i];
+    if (d <= res.cutoff)
+      res.update(true, d, sc, ev.pos[s + i]);
+    ++i;
+  }
+  while (i < c && ev.rank[s + i] < ev.boundary)
+    ++i;
+  if (!res.should_do_sensitive())
+    return;
+  res.set_sensitive();
+  while (i < c) {
+    if (res.sure_ambig)
+      break;
+    const int32_t d = ev.diffs[s + i];
+    if (d <= res.cutoff)
+      res.update(true, d, sc, ev.pos[s + i]);
+    ++i;
+  }
+}
+
+template <class Cand>
+void seeds(const Engine &E, Worker &w, const Events &ev, int64_t unit,
+           const uint8_t *pread, int len, uint32_t sc, Cand &res) {
+  if (ev.present() && ev.count[unit] >= 0)
+    replay_events(ev, unit, sc, res);
+  else
+    process_seeds(E, w, pread, len, sc, res);
+}
+
+}  // namespace
+
+namespace {
+
+// ---------------------------------------------------------------------------
+// output formatting (io/sam.py port; abismal.cpp:481-545, 648-773)
+// ---------------------------------------------------------------------------
+inline void append_u(std::string &s, uint64_t x) {
+  char b[24];
+  int i = 24;
+  do {
+    b[--i] = '0' + (char)(x % 10);
+    x /= 10;
+  } while (x);
+  s.append(b + i, 24 - i);
+}
+
+inline void append_i(std::string &s, int64_t x) {
+  if (x < 0) {
+    s.push_back('-');
+    append_u(s, (uint64_t)(-x));
+  }
+  else
+    append_u(s, (uint64_t)x);
+}
+
+inline void append_cigar(std::string &s, const Cigar &c) {
+  for (int i = 0; i < c.n; ++i) {
+    append_u(s, c.ops[i] >> 4);
+    s.push_back(CIGAR_OPS[c.ops[i] & 0xF]);
+  }
+}
+
+// pos -> (ok, chrom_idx, offset) with the read kept inside one chromosome
+// (genome.py get_chrom_idx_and_offset_checked; AbismalIndex.cpp:1305-1320)
+inline bool chrom_lookup(const Engine &E, uint32_t pos, int64_t r_ops,
+                         int64_t &ci, int64_t &off) {
+  // upper_bound over starts[0 .. n_chroms]
+  int64_t lo = 0, hi = E.n_chroms + 1;
+  while (lo < hi) {
+    const int64_t mid = (lo + hi) >> 1;
+    if (E.starts[mid] <= pos)
+      lo = mid + 1;
+    else
+      hi = mid;
+  }
+  if (lo == 0)
+    return false;
+  ci = lo - 1;
+  off = pos - (int64_t)E.starts[ci];
+  return pos + r_ops <= (int64_t)E.starts[ci + 1];
+}
+
+inline void append_sam(std::string &s, const Engine &E, const uint8_t *name,
+                       int64_t name_len, uint32_t flag, int64_t ci,
+                       int64_t pos1, const Cigar &cig, const char *rnext,
+                       int64_t pnext1, int64_t isize, const uint8_t *seq,
+                       int seq_len, bool rc_seq, int32_t nm, char cv) {
+  s.append((const char *)name, name_len);
+  s.push_back('\t');
+  append_u(s, flag);
+  s.push_back('\t');
+  s.append(E.names[ci]);
+  s.push_back('\t');
+  append_i(s, pos1);
+  s.append("\t255\t");
+  append_cigar(s, cig);
+  s.push_back('\t');
+  s.append(rnext);
+  s.push_back('\t');
+  append_i(s, pnext1);
+  s.push_back('\t');
+  append_i(s, isize);
+  s.push_back('\t');
+  if (rc_seq)
+    for (int i = seq_len - 1; i >= 0; --i)
+      s.push_back((char)T.rc[seq[i]]);
+  else
+    s.append((const char *)seq, seq_len);
+  s.append("\t*\tNM:i:");
+  append_i(s, nm);
+  s.append("\tCV:A:");
+  s.push_back(cv);
+  s.push_back('\n');
+}
+
+const int MAP_UNMAPPED = 0, MAP_UNIQUE = 1, MAP_AMBIG = 2;
+
+// abismal.cpp:481-545 / engine.py _format_se
+inline int format_se(const Engine &E, const Elem &best, const Cigar &cig,
+                     const uint8_t *name, int64_t name_len,
+                     const uint8_t *read, int len, std::string &out) {
+  const bool ambig = elem_ambig(best);
+  const bool valid = !elem_empty(best);
+  if (!E.allow_ambig && ambig)
+    return MAP_AMBIG;
+  if (!valid)
+    return MAP_UNMAPPED;
+  const int64_t r_ops = cigar_rseq_ops(cig);
+  int64_t ci, r_s;
+  if (!chrom_lookup(E, best.p, r_ops, ci, r_s))
+    return MAP_UNMAPPED;
+  uint32_t flag = 0;
+  const bool rc = (best.f & F_RC) != 0;
+  if (rc)
+    flag |= F_RC;
+  if (E.allow_ambig && ambig)
+    flag |= F_SECONDARY;
+  append_sam(out, E, name, name_len, flag, ci, r_s + 1, cig, "*", 0, 0,
+             read, len, rc, best.d, (best.f & F_A_RICH) ? 'A' : 'T');
+  return ambig ? MAP_AMBIG : MAP_UNIQUE;
+}
+
+// ---------------------------------------------------------------------------
+// SE alignment phase (engine.py align_se_candidates; abismal.cpp:1435-1497)
+// ---------------------------------------------------------------------------
+inline int32_t diffs_cutoff(int readlen, double frac) {
+  return (int32_t)(frac * readlen);
+}
+
+inline bool valid_len_ok(int64_t aln_len, int readlen) {
+  const double min_aln_frac = 1.0 - INVALID_HIT_FRAC;
+  return aln_len >= std::max<int64_t>(MIN_READ_LENGTH,
+                                      (int64_t)(min_aln_frac * readlen));
+}
+
+inline bool valid_hit(int32_t d, int readlen) {
+  return d < (int32_t)(INVALID_HIT_FRAC * readlen);
+}
+
+inline const uint8_t *pick_pread(const Elem &e, const uint8_t *pt,
+                                 const uint8_t *pt_rc, const uint8_t *pa,
+                                 const uint8_t *pa_rc) {
+  // query encoding selection by hit flags (abismal.cpp:1461-1465)
+  if (e.f & F_RC)
+    return (e.f & F_A_RICH) ? pt_rc : pa_rc;
+  return (e.f & F_A_RICH) ? pa : pt;
+}
+
+void align_se_candidates(const uint8_t *pt, const uint8_t *pt_rc,
+                         const uint8_t *pa, const uint8_t *pa_rc, int readlen,
+                         double cutoff, SECand &res, Worker &w, Elem &best_out,
+                         Cigar &cig) {
+  const int32_t max_diffs = diffs_cutoff(readlen, cutoff);
+  const int32_t max_scr = ALN_MATCH * readlen;
+  if (res.has_exact()) {
+    best_out = res.best;
+    cig.set_default(readlen);
+    return;
+  }
+  Elem best{MAX_DIFFS, 0, 0};
+  int32_t best_scr = 0;
+  uint32_t best_pos = 0;
+  const int n = res.prepare_for_alignments(w.prep);
+  int i = 0;
+  while (i < n && elem_empty(w.prep[i]))
+    ++i;
+  for (; i < n; ++i) {
+    const Elem &e = w.prep[i];
+    if (valid_hit(e.d, readlen)) {
+      const uint8_t *q = pick_pread(e, pt, pt_rc, pa, pa_rc);
+      const int32_t cand_scr =
+        w.aln.align(e.d, max_diffs, q, readlen, e.p, false);
+      if (cand_scr > best_scr) {
+        best = e;
+        best_scr = cand_scr;
+        best_pos = e.p;
+      }
+      else if (cand_scr == best_scr
+               && (cand_scr == max_scr
+                     ? e.p != best_pos
+                     : std::abs((int64_t)e.p - (int64_t)best_pos)
+                         > SAME_POS_TOL)) {
+        set_ambig(best);
+      }
+    }
+  }
+  cig.clear();
+  if (best.p != 0) {
+    const uint8_t *q = pick_pread(best, pt, pt_rc, pa, pa_rc);
+    w.aln.align(best.d, max_diffs, q, readlen, best.p, true);
+    int64_t aln_len, new_pos;
+    w.aln.cigar_len_pos(best.d, cig, aln_len, new_pos, best.p);
+    best.p = (uint32_t)new_pos;
+    best.d = edit_distance(best_scr, aln_len, cig);
+    if (!(valid_len_ok(aln_len, readlen) && best.d <= max_diffs))
+      best = Elem{MAX_DIFFS, best.f, 0};
+  }
+  else {
+    best = Elem{MAX_DIFFS, best.f, 0};
+  }
+  best_out = best;
+}
+
+// ---------------------------------------------------------------------------
+// per-read SE mapping (engine.py map_se_reads body)
+// ---------------------------------------------------------------------------
+struct SEStatsAcc {
+  int64_t *st;  // total, unique, ambig, skipped, edits, bases
+  void update(bool read_empty, bool valid, bool ambig, int32_t d,
+              const Cigar &cig, bool count_ambig_err) {
+    st[0] += 1;
+    st[1] += (valid && !ambig) ? 1 : 0;
+    st[2] += (valid && ambig) ? 1 : 0;
+    st[3] += read_empty ? 1 : 0;
+    if (valid && (!ambig || count_ambig_err)) {
+      st[4] += d;
+      st[5] += cigar_rseq_ops(cig);
+    }
+  }
+};
+
+void map_one_se(const Engine &E, Worker &w, const Events &ev, int64_t ri,
+                const uint8_t *name, int64_t name_len, const uint8_t *read,
+                int len, bool a_rich_mode, bool random_pbat) {
+  w.se.reset(len);
+  Elem best{MAX_DIFFS, 0, 0};
+  Cigar cig;
+  cig.clear();
+  if (len) {
+    if (!random_pbat) {
+      const bool conv = a_rich_mode;
+      encode_read(read, len, conv, w.buf[0]);
+      seeds(E, w, ev, 2 * ri, w.buf[0].data(), len,
+            strand_code(false, conv), w.se);
+      revcomp_ascii(read, len, w.rcbuf[0]);
+      encode_read(w.rcbuf[0].data(), len, !conv, w.buf[1]);
+      seeds(E, w, ev, 2 * ri + 1, w.buf[1].data(), len,
+            strand_code(true, conv), w.se);
+      align_se_candidates(w.buf[0].data(), w.buf[1].data(), w.buf[0].data(),
+                          w.buf[1].data(), len, E.valid_frac, w.se, w, best,
+                          cig);
+    }
+    else {
+      // 4-way RPBAT orchestration (abismal.cpp:1602-1704)
+      encode_read(read, len, false, w.buf[0]);
+      seeds(E, w, ev, 4 * ri, w.buf[0].data(), len,
+            strand_code(false, false), w.se);
+      encode_read(read, len, true, w.buf[2]);
+      seeds(E, w, ev, 4 * ri + 1, w.buf[2].data(), len,
+            strand_code(false, true), w.se);
+      revcomp_ascii(read, len, w.rcbuf[0]);
+      encode_read(w.rcbuf[0].data(), len, false, w.buf[1]);
+      seeds(E, w, ev, 4 * ri + 2, w.buf[1].data(), len,
+            strand_code(true, true), w.se);
+      encode_read(w.rcbuf[0].data(), len, true, w.buf[3]);
+      seeds(E, w, ev, 4 * ri + 3, w.buf[3].data(), len,
+            strand_code(true, false), w.se);
+      align_se_candidates(w.buf[0].data(), w.buf[1].data(), w.buf[2].data(),
+                          w.buf[3].data(), len, E.valid_frac, w.se, w, best,
+                          cig);
+    }
+    const int map_type =
+      format_se(E, best, cig, name, name_len, read, len, w.out);
+    if (map_type == MAP_UNMAPPED) {
+      best.d = MAX_DIFFS;
+      best.p = 0;
+    }
+  }
+  SEStatsAcc acc{w.st};
+  acc.update(len == 0, !elem_empty(best), elem_ambig(best), best.d, cig,
+             E.allow_ambig);
+}
+
+}  // namespace
+
+namespace {
+
+// ---------------------------------------------------------------------------
+// paired-end mapping (engine.py PEBest/_best_pair/_map_fragments/map_pe_reads;
+// abismal.cpp:547-631,1715-2185)
+// ---------------------------------------------------------------------------
+struct PEBest {
+  int32_t aln_score = 0;
+  Elem r1{MAX_DIFFS, 0, 0}, r2{MAX_DIFFS, 0, 0};
+  int32_t max_aln_score = 0;
+
+  void init(int l1, int l2) {
+    aln_score = 0;
+    r1 = Elem{(int32_t)(INVALID_HIT_FRAC * l1), 0, 0};
+    r2 = Elem{(int32_t)(INVALID_HIT_FRAC * l2), 0, 0};
+    max_aln_score = ALN_MATCH * (l1 + l2);
+  }
+  void reset() {
+    aln_score = 0;
+    r1 = Elem{MAX_DIFFS, r1.f, 0};
+    r2 = Elem{MAX_DIFFS, r2.f, 0};
+  }
+  bool update(int32_t scr, const Elem &s1, const Elem &s2) {
+    const int64_t rd = (int64_t)r1.d + r2.d;
+    const int64_t sd = (int64_t)s1.d + s2.d;
+    if (scr > aln_score || (scr == aln_score && sd < rd)) {
+      r1 = s1;
+      r2 = s2;
+      aln_score = scr;
+      return true;
+    }
+    if (scr == aln_score && sd == rd)
+      set_ambig(r1);
+    return false;
+  }
+  bool ambig() const { return elem_ambig(r1); }
+  bool empty() const { return elem_empty(r1); }
+  bool sure_ambig() const { return ambig() && aln_score == max_aln_score; }
+  bool should_report(bool allow) const {
+    return !empty() && (allow || !ambig());
+  }
+};
+
+// concordance sweep with memoized end-1 scores (abismal.cpp:1722-1831)
+bool best_pair(const Engine &E, Worker &w, PECand &res1, PECand &res2,
+               const uint8_t *pread1, int len1, const uint8_t *pread2,
+               int len2, PEBest &best, bool swap_ends, Cigar &cig1_out,
+               Cigar &cig2_out) {
+  Elem *v1 = res1.v.data();
+  Elem *v2 = res2.v.data();
+  const int64_t n1 = res1.sz, n2 = res2.sz;
+  const int32_t max_diffs1 = diffs_cutoff(len1, E.valid_frac);
+  const int32_t max_diffs2 = diffs_cutoff(len2, E.valid_frac);
+  for (int64_t k = 0; k < n1; ++k)
+    w.mem_scr1[k] = 0;
+
+  int32_t scr1 = 0;
+  int32_t best_scr1 = 0, best_scr2 = 0;
+  int64_t best_pos1 = 0, best_pos2 = 0;
+
+  int64_t j1 = 0;
+  while (j1 != n1 && elem_empty(v1[j1]))
+    ++j1;
+  int64_t j2 = 0;
+  while (j2 != n2 && elem_empty(v2[j2]))
+    ++j2;
+
+  const int64_t max_dist = E.pe_max, min_dist = E.pe_min;
+  while (j2 != n2 && !best.sure_ambig()) {
+    const Elem &s2 = v2[j2];
+    int32_t scr2 = 0;
+    const int64_t lim = (int64_t)s2.p + len2;
+    // rewind to the first possibly-concordant end-1 candidate
+    while (j1 == n1 || (j1 != 0 && (int64_t)v1[j1].p + max_dist >= lim))
+      --j1;
+    while (j1 != n1 && (int64_t)v1[j1].p + max_dist < lim)
+      ++j1;
+    while (j1 != n1 && (int64_t)v1[j1].p + min_dist <= lim
+           && !best.sure_ambig()) {
+      const Elem &s1 = v1[j1];
+      if (scr2 == 0)
+        scr2 = w.aln.align(s2.d, max_diffs2, pread2, len2, s2.p, false);
+      if (w.mem_scr1[j1] == 0) {
+        scr1 = w.aln.align(s1.d, max_diffs1, pread1, len1, s1.p, false);
+        w.mem_scr1[j1] = scr1;
+      }
+      const int32_t pair_scr = scr2 + w.mem_scr1[j1];
+      const bool updated = swap_ends ? best.update(pair_scr, s2, s1)
+                                     : best.update(pair_scr, s1, s2);
+      if (updated) {
+        // NB: scr1 may be stale when the memo was hit -- the reference
+        // stores the last *computed* score (abismal.cpp:1793-1799)
+        best_scr1 = scr1;
+        best_scr2 = scr2;
+        best_pos1 = s1.p;
+        best_pos2 = s2.p;
+      }
+      ++j1;
+    }
+    ++j2;
+  }
+
+  if (best_pos1 == 0)
+    return false;
+
+  Elem s1 = swap_ends ? best.r2 : best.r1;
+  Elem s2 = swap_ends ? best.r1 : best.r2;
+
+  Cigar cigar1, cigar2;
+  int64_t aln_len1, aln_len2, np1, np2;
+  w.aln.align(s1.d, max_diffs1, pread1, len1, best_pos1, true);
+  w.aln.cigar_len_pos(s1.d, cigar1, aln_len1, np1, best_pos1);
+  s1.p = (uint32_t)np1;
+  s1.d = edit_distance(best_scr1, aln_len1, cigar1);
+
+  w.aln.align(s2.d, max_diffs2, pread2, len2, best_pos2, true);
+  w.aln.cigar_len_pos(s2.d, cigar2, aln_len2, np2, best_pos2);
+  s2.p = (uint32_t)np2;
+  s2.d = edit_distance(best_scr2, aln_len2, cigar2);
+
+  const int64_t frag_end = np2 + aln_len2;
+  if (frag_end >= np1 + min_dist && frag_end <= np1 + max_dist) {
+    best.r1 = swap_ends ? s2 : s1;
+    best.r2 = swap_ends ? s1 : s2;
+  }
+  else {
+    best.reset();
+  }
+  cig1_out = cigar1;
+  cig2_out = cigar2;
+  return true;
+}
+
+// feed PE candidates into the SE fallback set (abismal.cpp:1715-1720)
+inline void best_single(const PECand &pres, SECand &res) {
+  for (int k = 0; k < pres.sz; ++k) {
+    if (res.sure_ambig)
+      break;
+    const Elem &e = pres.v[k];
+    res.update(false, e.d, e.f, e.p);
+  }
+}
+
+// one map_fragments call (abismal.cpp:1849-1885).  pread bufs b1/b2 receive
+// the encodings; returns whether the pair participated.
+bool map_fragments(const Engine &E, Worker &w, const Events &ev,
+                   const uint8_t *read1, int len1, const uint8_t *read2,
+                   int len2, bool conv_a_rich, bool swap_ends, uint32_t sc1,
+                   uint32_t sc2, int64_t u1, int64_t u2, PECand &res1,
+                   PECand &res2, SECand &res_se1, SECand &res_se2,
+                   PEBest &best, Cigar *c_this1, Cigar *c_this2, int b1,
+                   int b2, int rcb) {
+  res1.reset(len1);
+  res2.reset(len2);
+  if (!len1 && !len2)
+    return false;
+  const uint8_t *pread1 = nullptr;
+  const uint8_t *pread2 = nullptr;
+  if (len1) {
+    encode_read(read1, len1, conv_a_rich, w.buf[b1]);
+    pread1 = w.buf[b1].data();
+    seeds(E, w, ev, u1, pread1, len1, sc1, res1);
+  }
+  if (len2) {
+    revcomp_ascii(read2, len2, w.rcbuf[rcb]);
+    encode_read(w.rcbuf[rcb].data(), len2, conv_a_rich, w.buf[b2]);
+    pread2 = w.buf[b2].data();
+    seeds(E, w, ev, u2, pread2, len2, sc2, res2);
+  }
+  // select_maps (abismal.cpp:1833-1847)
+  if (res1.should_align() && res2.should_align()) {
+    res1.prepare_for_mating();
+    res2.prepare_for_mating();
+    Cigar nc1, nc2;
+    if (best_pair(E, w, res1, res2, pread1, len1, pread2, len2, best,
+                  swap_ends, nc1, nc2)) {
+      *c_this1 = nc1;
+      *c_this2 = nc2;
+    }
+  }
+  best_single(res1, res_se1);
+  best_single(res2, res_se2);
+  return true;
+}
+
+// abismal.cpp:648-773 / engine.py _format_pe
+int format_pe(const Engine &E, const PEBest &best, const Cigar &cig1,
+              const Cigar &cig2, const uint8_t *name1, int64_t nl1,
+              const uint8_t *name2, int64_t nl2, const uint8_t *read1,
+              int len1, const uint8_t *read2, int len2, std::string &out) {
+  if (best.empty())
+    return MAP_UNMAPPED;
+  const bool ambig = best.ambig();
+  if (!E.allow_ambig && ambig)
+    return MAP_AMBIG;
+  const int64_t ro1 = cigar_rseq_ops(cig1);
+  const int64_t ro2 = cigar_rseq_ops(cig2);
+  int64_t ci1, r_s1, ci2, r_s2;
+  const bool ok1 = chrom_lookup(E, best.r1.p, ro1, ci1, r_s1);
+  const bool ok2 = chrom_lookup(E, best.r2.p, ro2, ci2, r_s2);
+  if (!ok1 || !ok2 || ci1 != ci2)
+    return MAP_UNMAPPED;
+  const int64_t r_e1 = r_s1 + ro1;
+  (void)r_e1;
+  const int64_t r_e2 = r_s2 + ro2;
+  const bool rc = (best.r1.f & F_RC) != 0;
+  const int64_t isize = rc ? (r_s1 - r_e2) : (r_e2 - r_s1);
+
+  uint32_t flag1 = F_PAIRED | F_PAIR_MAPPED;
+  uint32_t flag2 = F_PAIRED | F_PAIR_MAPPED;
+  const bool rc1 = (best.r1.f & F_RC) != 0;
+  const bool rc2 = (best.r2.f & F_RC) != 0;
+  if (rc1) {
+    flag1 |= F_RC;
+    flag2 |= F_MATE_RC;
+  }
+  if (rc2) {
+    flag2 |= F_RC;
+    flag1 |= F_MATE_RC;
+  }
+  if (E.allow_ambig && ambig) {
+    flag1 |= F_SECONDARY;
+    flag2 |= F_SECONDARY;
+  }
+  flag1 |= F_TFIRST;
+  flag2 |= F_TLAST;
+
+  append_sam(out, E, name1, nl1, flag1, ci1, r_s1 + 1, cig1, "=", r_s2 + 1,
+             isize, read1, len1, rc1, best.r1.d,
+             (best.r1.f & F_A_RICH) ? 'A' : 'T');
+  append_sam(out, E, name2, nl2, flag2, ci1, r_s2 + 1, cig2, "=", r_s1 + 1,
+             -isize, read2, len2, rc2, best.r2.d,
+             (best.r2.f & F_A_RICH) ? 'A' : 'T');
+  return ambig ? MAP_AMBIG : MAP_UNIQUE;
+}
+
+// engine.py _align_se_fallback
+void align_se_fallback(const Engine &E, Worker &w, const uint8_t *pt,
+                       const uint8_t *pt_rc, const uint8_t *pa,
+                       const uint8_t *pa_rc, SECand &res_se, int readlen,
+                       Elem &best, Cigar &cig) {
+  if (pt == nullptr && pt_rc == nullptr) {
+    best = Elem{MAX_DIFFS, 0, 0};
+    cig.clear();
+    return;
+  }
+  align_se_candidates(pt, pt_rc, pa, pa_rc, readlen, E.valid_frac / 2,
+                      res_se, w, best, cig);
+}
+
+// one read pair (engine.py map_pe_reads body; abismal.cpp:1887-2185)
+void map_one_pe(const Engine &E, Worker &w, const Events &ev, int64_t ri,
+                const uint8_t *name1, int64_t nl1, const uint8_t *read1,
+                int l1, const uint8_t *name2, int64_t nl2,
+                const uint8_t *read2, int l2, bool a_rich_mode,
+                bool random_pbat) {
+  w.se1.reset(l1);
+  w.se2.reset(l2);
+  PEBest best;
+  best.init(l1, l2);
+  Cigar cig1, cig2;
+  cig1.clear();
+  cig2.clear();
+
+  // per-call pread buffer slots; preads1/preads2 collect the four
+  // encodings of each end for the SE fallback (engine.py:517-549)
+  const uint8_t *p1t = nullptr, *p1t_rc = nullptr, *p1a = nullptr,
+                *p1a_rc = nullptr;
+  const uint8_t *p2t = nullptr, *p2t_rc = nullptr, *p2a = nullptr,
+                *p2a_rc = nullptr;
+  bool any_ok = false;
+
+  if (!random_pbat) {
+    const bool conv = a_rich_mode;
+    const bool ok_pm = map_fragments(
+      E, w, ev, read1, l1, read2, l2, conv, false, strand_code(false, conv),
+      strand_code(true, !conv), 4 * ri, 4 * ri + 1, w.pe1, w.pe2, w.se1,
+      w.se2, best, &cig1, &cig2, 0, 1, 0);
+    const bool ok_mp = map_fragments(
+      E, w, ev, read2, l2, read1, l1, !conv, true, strand_code(false, !conv),
+      strand_code(true, conv), 4 * ri + 2, 4 * ri + 3, w.pe2, w.pe1, w.se2,
+      w.se1, best, &cig2, &cig1, 2, 3, 1);
+    const uint8_t *pr1 = l1 ? w.buf[0].data() : nullptr;
+    const uint8_t *pr1_rc = l1 ? w.buf[3].data() : nullptr;
+    const uint8_t *pr2 = l2 ? w.buf[2].data() : nullptr;
+    const uint8_t *pr2_rc = l2 ? w.buf[1].data() : nullptr;
+    p1t = pr1; p1t_rc = pr1_rc; p1a = pr1; p1a_rc = pr1_rc;
+    p2t = pr2; p2t_rc = pr2_rc; p2a = pr2; p2a_rc = pr2_rc;
+    any_ok = ok_pm || ok_mp;
+  }
+  else {
+    // 4-way RPBAT (abismal.cpp:2031-2185)
+    const bool ok1 = map_fragments(
+      E, w, ev, read1, l1, read2, l2, false, false,
+      strand_code(false, false), strand_code(true, true), 8 * ri,
+      8 * ri + 1, w.pe1, w.pe2, w.se1, w.se2, best, &cig1, &cig2, 0, 1, 0);
+    // event-unit ids follow the _pe_units enumeration: conv=False units
+    // are 8ri+0..3 (1fF, 2rF, 2fT, 1rT), conv=True units 8ri+4..7
+    // (1fT, 2rT, 2fF, 1rF)
+    const bool ok2 = map_fragments(
+      E, w, ev, read2, l2, read1, l1, true, true, strand_code(false, true),
+      strand_code(true, false), 8 * ri + 2, 8 * ri + 3, w.pe2, w.pe1, w.se2,
+      w.se1, best, &cig2, &cig1, 2, 3, 1);
+    const bool ok3 = map_fragments(
+      E, w, ev, read1, l1, read2, l2, true, false, strand_code(false, true),
+      strand_code(true, false), 8 * ri + 4, 8 * ri + 5, w.pe1, w.pe2, w.se1,
+      w.se2, best, &cig1, &cig2, 4, 5, 0);
+    const bool ok4 = map_fragments(
+      E, w, ev, read2, l2, read1, l1, false, true,
+      strand_code(false, false), strand_code(true, true), 8 * ri + 6,
+      8 * ri + 7, w.pe2, w.pe1, w.se2, w.se1, best, &cig2, &cig1, 6, 7, 1);
+    p1t = l1 ? w.buf[0].data() : nullptr;
+    p1t_rc = l1 ? w.buf[7].data() : nullptr;
+    p1a = l1 ? w.buf[4].data() : nullptr;
+    p1a_rc = l1 ? w.buf[3].data() : nullptr;
+    p2t = l2 ? w.buf[6].data() : nullptr;
+    p2t_rc = l2 ? w.buf[1].data() : nullptr;
+    p2a = l2 ? w.buf[2].data() : nullptr;
+    p2a_rc = l2 ? w.buf[5].data() : nullptr;
+    any_ok = ok1 || ok2 || ok3 || ok4;
+  }
+
+  if (!any_ok) {
+    best.reset();
+    w.se1.reset_plain();
+    w.se2.reset_plain();
+  }
+
+  // valid_pair check (abismal.cpp:624-631,1987-1989)
+  {
+    const int64_t ro1 = cigar_rseq_ops(cig1);
+    const int64_t ro2 = cigar_rseq_ops(cig2);
+    if (!(valid_len_ok(ro1, l1) && valid_len_ok(ro2, l2)
+          && (int64_t)best.r1.d + best.r2.d
+               <= (int64_t)(E.valid_frac * (ro1 + ro2))))
+      best.reset();
+  }
+
+  Elem best_se1{MAX_DIFFS, 0, 0}, best_se2{MAX_DIFFS, 0, 0};
+  Cigar cig_se1, cig_se2;
+  cig_se1.clear();
+  cig_se2.clear();
+  if (!best.should_report(E.allow_ambig)) {
+    align_se_fallback(E, w, p1t, p1t_rc, p1a, p1a_rc, w.se1, l1, best_se1,
+                      cig_se1);
+    align_se_fallback(E, w, p2t, p2t_rc, p2a, p2a_rc, w.se2, l2, best_se2,
+                      cig_se2);
+    cig1 = cig_se1;
+    cig2 = cig_se2;
+  }
+
+  // select_output (abismal.cpp:1073-1088)
+  std::string pe_lines;
+  const int pe_type = format_pe(E, best, cig1, cig2, name1, nl1, name2, nl2,
+                                read1, l1, read2, l2, pe_lines);
+  std::string se_lines;
+  PEBest best_after = best;
+  if (!best.should_report(E.allow_ambig) || pe_type == MAP_UNMAPPED) {
+    if (pe_type == MAP_UNMAPPED)
+      best_after.reset();
+    const int t1 =
+      format_se(E, best_se1, cig_se1, name1, nl1, read1, l1, se_lines);
+    if (t1 == MAP_UNMAPPED) {
+      best_se1.d = MAX_DIFFS;
+      best_se1.p = 0;
+    }
+    const int t2 =
+      format_se(E, best_se2, cig_se2, name2, nl2, read2, l2, se_lines);
+    if (t2 == MAP_UNMAPPED) {
+      best_se2.d = MAX_DIFFS;
+      best_se2.p = 0;
+    }
+  }
+  w.out += pe_lines;
+  w.out += se_lines;
+
+  // stats (abismal.cpp:1034-1057); layout: pair[0..5], end1[6..11],
+  // end2[12..17]
+  w.st[0] += 1;
+  const bool valid = !best_after.empty();
+  const bool ambig = best_after.ambig();
+  w.st[1] += (valid && !ambig) ? 1 : 0;
+  w.st[2] += (valid && ambig) ? 1 : 0;
+  w.st[3] += (!l1 || !l2) ? 1 : 0;
+  if (best_after.should_report(E.allow_ambig)) {
+    w.st[4] += best_after.r1.d + best_after.r2.d;
+    w.st[5] += cigar_rseq_ops(cig1) + cigar_rseq_ops(cig2);
+  }
+  else {
+    SEStatsAcc a1{w.st + 6}, a2{w.st + 12};
+    a1.update(l1 == 0, !elem_empty(best_se1), elem_ambig(best_se1),
+              best_se1.d, cig_se1, false);
+    a2.update(l2 == 0, !elem_empty(best_se2), elem_ambig(best_se2),
+              best_se2.d, cig_se2, false);
+  }
+}
+
+}  // namespace
+
+// ---------------------------------------------------------------------------
+// batch drivers + C API
+// ---------------------------------------------------------------------------
+namespace {
+
+Worker *get_worker(Engine &E, int i) {
+  while ((int)E.workers.size() <= i)
+    E.workers.push_back(new Worker(E.gnib));
+  return E.workers[i];
+}
+
+template <class Fn>
+void run_threads(Engine &E, int64_t n_items, int n_threads, Fn fn) {
+  n_threads = std::max(1, n_threads);
+  if (n_items < n_threads)
+    n_threads = std::max<int64_t>(1, n_items);
+  const int64_t chunk = (n_items + n_threads - 1) / n_threads;
+  std::vector<std::thread> ts;
+  for (int t = 0; t < n_threads; ++t) {
+    Worker *w = get_worker(E, t);
+    w->out.clear();
+    std::memset(w->st, 0, sizeof(w->st));
+    const int64_t lo = t * chunk;
+    const int64_t hi = std::min<int64_t>(n_items, lo + chunk);
+    if (lo >= hi)
+      continue;
+    ts.emplace_back([=, &E]() { fn(*w, lo, hi); });
+  }
+  for (auto &t : ts)
+    t.join();
+  E.out.clear();
+  for (int t = 0; t < n_threads; ++t)
+    if (t < (int)E.workers.size())
+      E.out += E.workers[t]->out;
+}
+
+void sum_stats(Engine &E, int64_t *stats_out, int n) {
+  for (int i = 0; i < n; ++i) {
+    int64_t s = 0;
+    for (auto *w : E.workers)
+      s += w->st[i];
+    stats_out[i] = s;
+  }
+}
+
+}  // namespace
+
+extern "C" {
+
+void *engine_create(const uint8_t *genome_nib, const uint64_t *genome_words,
+                    int64_t genome_size, const uint32_t *counter2,
+                    const uint32_t *counter_t, const uint32_t *counter_a,
+                    const uint32_t *index2, const uint32_t *index_t,
+                    const uint32_t *index_a, int64_t max_candidates,
+                    const uint64_t *chrom_starts, int64_t n_chroms,
+                    const char *names_blob, int allow_ambig,
+                    double valid_frac, int64_t pe_min, int64_t pe_max) {
+  Engine *E = new Engine();
+  E->gnib = genome_nib;
+  E->gwords = genome_words;
+  E->gsize = genome_size;
+  E->counter2 = counter2;
+  E->counter_t = counter_t;
+  E->counter_a = counter_a;
+  E->index2 = index2;
+  E->index_t = index_t;
+  E->index_a = index_a;
+  E->max_candidates = max_candidates;
+  E->starts = chrom_starts;
+  E->n_chroms = n_chroms;
+  {
+    const char *p = names_blob;
+    for (int64_t i = 0; i < n_chroms; ++i) {
+      const char *e = std::strchr(p, '\n');
+      E->names.emplace_back(p, e ? (size_t)(e - p) : std::strlen(p));
+      p = e ? e + 1 : p + E->names.back().size();
+    }
+  }
+  E->allow_ambig = allow_ambig != 0;
+  E->valid_frac = valid_frac;
+  E->pe_min = pe_min;
+  E->pe_max = pe_max;
+  return E;
+}
+
+void engine_destroy(void *eng) {
+  Engine *E = (Engine *)eng;
+  for (auto *w : E->workers)
+    delete w;
+  delete E;
+}
+
+// reads_blob/read_offs: concatenated ASCII reads with n+1 offsets; names
+// likewise.  ev_* may be null (pure native seeding); ev_count[u] < 0 routes
+// unit u to native seeding.  stats_out: 6 counters (total, unique, ambig,
+// skipped, edits, bases).
+int64_t engine_map_se_batch(void *eng, const uint8_t *reads_blob,
+                            const int64_t *read_offs,
+                            const uint8_t *names_blob,
+                            const int64_t *name_offs, int64_t n_reads,
+                            int a_rich_mode, int random_pbat,
+                            const uint32_t *ev_pos, const int32_t *ev_diffs,
+                            const int32_t *ev_rank, const int64_t *ev_start,
+                            const int64_t *ev_count, int64_t ev_boundary,
+                            int n_threads, int64_t *stats_out) {
+  Engine &E = *(Engine *)eng;
+  Events ev{ev_pos, ev_diffs, ev_rank, ev_start, ev_count, ev_boundary};
+  int max_len = 1;
+  for (int64_t i = 0; i < n_reads; ++i)
+    max_len = std::max<int64_t>(max_len, read_offs[i + 1] - read_offs[i]);
+
+  run_threads(E, n_reads, n_threads, [&](Worker &w, int64_t lo, int64_t hi) {
+    w.aln.reset(max_len);
+    for (int64_t ri = lo; ri < hi; ++ri) {
+      map_one_se(E, w, ev, ri, names_blob + name_offs[ri],
+                 name_offs[ri + 1] - name_offs[ri],
+                 reads_blob + read_offs[ri],
+                 (int)(read_offs[ri + 1] - read_offs[ri]), a_rich_mode != 0,
+                 random_pbat != 0);
+    }
+  });
+  sum_stats(E, stats_out, 6);
+  return (int64_t)E.out.size();
+}
+
+// stats_out: 18 counters (pair[6], end1[6], end2[6])
+int64_t engine_map_pe_batch(void *eng, const uint8_t *reads1_blob,
+                            const int64_t *read1_offs,
+                            const uint8_t *names1_blob,
+                            const int64_t *name1_offs,
+                            const uint8_t *reads2_blob,
+                            const int64_t *read2_offs,
+                            const uint8_t *names2_blob,
+                            const int64_t *name2_offs, int64_t n_reads,
+                            int a_rich_mode, int random_pbat,
+                            const uint32_t *ev_pos, const int32_t *ev_diffs,
+                            const int32_t *ev_rank, const int64_t *ev_start,
+                            const int64_t *ev_count, int64_t ev_boundary,
+                            int n_threads, int64_t *stats_out) {
+  Engine &E = *(Engine *)eng;
+  Events ev{ev_pos, ev_diffs, ev_rank, ev_start, ev_count, ev_boundary};
+  int max_len = 1;
+  for (int64_t i = 0; i < n_reads; ++i) {
+    max_len = std::max<int64_t>(max_len, read1_offs[i + 1] - read1_offs[i]);
+    max_len = std::max<int64_t>(max_len, read2_offs[i + 1] - read2_offs[i]);
+  }
+
+  run_threads(E, n_reads, n_threads, [&](Worker &w, int64_t lo, int64_t hi) {
+    w.aln.reset(max_len);
+    for (int64_t ri = lo; ri < hi; ++ri) {
+      map_one_pe(E, w, ev, ri, names1_blob + name1_offs[ri],
+                 name1_offs[ri + 1] - name1_offs[ri],
+                 reads1_blob + read1_offs[ri],
+                 (int)(read1_offs[ri + 1] - read1_offs[ri]),
+                 names2_blob + name2_offs[ri],
+                 name2_offs[ri + 1] - name2_offs[ri],
+                 reads2_blob + read2_offs[ri],
+                 (int)(read2_offs[ri + 1] - read2_offs[ri]),
+                 a_rich_mode != 0, random_pbat != 0);
+    }
+  });
+  sum_stats(E, stats_out, 18);
+  return (int64_t)E.out.size();
+}
+
+const char *engine_out_ptr(void *eng) { return ((Engine *)eng)->out.data(); }
+
+}  // extern "C"

@@ -45,6 +45,56 @@ def test_map_parity_small(tmp_path, trex1_index, prefix, paired, pbat):
     assert mstats.read_text() == _read_golden(prefix + ".mstats")
 
 
+@pytest.mark.parametrize("prefix,paired,pbat", CASES)
+@pytest.mark.parametrize("threads", [1, 3])
+def test_native_engine_parity_small(tmp_path, trex1_index, prefix, paired,
+                                    pbat, threads):
+    """The C++ batched engine (native seeding + decide/align/format) must be
+    byte-identical to the goldens at any thread count."""
+    from abismal_tpu.map.engine import run_map
+    from abismal_tpu.map.pipeline import make_native_engine_factory
+
+    flag = "-P " if pbat else ""
+    fq1 = golden_path(prefix + "_1.fq")
+    fq2 = golden_path(prefix + "_2.fq") if paired else None
+    tail = (f"tests/{prefix}_1.fq tests/{prefix}_2.fq" if paired
+            else f"tests/{prefix}_1.fq")
+    cl = (f"map {flag}-s tests/{prefix}.mstats -o tests/{prefix}.sam "
+          f"-i tests/tRex1.idx {tail}")
+    sam = tmp_path / "out.sam"
+    mstats = tmp_path / "out.mstats"
+    run_map(trex1_index, fq1, fq2, str(sam), str(mstats), cl, pbat=pbat,
+            engine_factory=make_native_engine_factory(n_threads=threads))
+    assert sam.read_text() == _read_golden(prefix + ".sam")
+    assert mstats.read_text() == _read_golden(prefix + ".mstats")
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize(
+    "prefix,paired,pbat",
+    [("reads", False, False), ("reads_pe", True, False),
+     ("reads_pbat_pe", True, True), ("reads_rpbat_pe", True, True)],
+)
+def test_native_engine_parity_full(tmp_path, trex1_index, prefix, paired,
+                                   pbat):
+    from abismal_tpu.map.engine import run_map
+    from abismal_tpu.map.pipeline import make_native_engine_factory
+
+    flag = "-P " if pbat else ""
+    fq1 = golden_path(prefix + "_1.fq")
+    fq2 = golden_path(prefix + "_2.fq") if paired else None
+    tail = (f"tests/{prefix}_1.fq tests/{prefix}_2.fq" if paired
+            else f"tests/{prefix}_1.fq")
+    cl = (f"map {flag}-s tests/{prefix}.mstats -o tests/{prefix}.sam "
+          f"-i tests/tRex1.idx {tail}")
+    sam = tmp_path / "out.sam"
+    mstats = tmp_path / "out.mstats"
+    run_map(trex1_index, fq1, fq2, str(sam), str(mstats), cl, pbat=pbat,
+            engine_factory=make_native_engine_factory(n_threads=4))
+    assert sam.read_text() == _read_golden(prefix + ".sam")
+    assert mstats.read_text() == _read_golden(prefix + ".mstats")
+
+
 @pytest.mark.slow
 @pytest.mark.parametrize(
     "prefix,paired,pbat",
