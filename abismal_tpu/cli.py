@@ -56,9 +56,10 @@ def cmd_idx(argv):
 
     if a.targets:
         idx = create_index_targets(a.targets, a.genome_fasta,
-                                   verbose=a.verbose)
+                                   verbose=a.verbose, n_threads=a.threads)
     else:
-        idx = create_index(a.genome_fasta, verbose=a.verbose)
+        idx = create_index(a.genome_fasta, verbose=a.verbose,
+                           n_threads=a.threads)
     write_index(idx, a.index_file)
     return 0
 

@@ -291,6 +291,86 @@ def _stage(verbose: bool, label: str, t0=[None]):
         t0[0] = None
 
 
+def _build_from_genome_native(genome: np.ndarray, cl, n_threads: int = 1,
+                              verbose: bool = False) -> "AbismalIndex":
+    """Streaming native build: the five genome scans run as threaded C++
+    rolling scans with O(1) temporaries (no full-genome hash arrays), so
+    hg38-scale genomes build in bounded memory.  Bit-identical to the
+    NumPy build below (the oracle) and hence to the reference."""
+    lib = get_lib()
+    n = genome.shape[0]
+
+    _stage(verbose, "cleaning reference genome")
+    exclude = [(s, e) for s, e in contiguous_n(genome) if e - s > MAX_N_COUNT]
+    replace_included_n(genome, exclude)
+    exc_s = np.asarray([s for s, _ in exclude], dtype=np.int64)
+    exc_e = np.asarray([e for _, e in exclude], dtype=np.int64)
+
+    _stage(verbose, "encoding genome")
+    nibbles = encode_genome_nibbles(genome)
+    genome_words = pack_nibbles_u64(nibbles)
+    del genome
+
+    _stage(verbose, "computing bucket sizes")
+    lim2 = n - KEY_WEIGHT + 1
+    cnt2 = np.empty(N_BUCKETS_TWO + 1, dtype=np.uint32)
+    cnt3t = np.empty(N_BUCKETS_THREE + 1, dtype=np.uint32)
+    cnt3a = np.empty(N_BUCKETS_THREE + 1, dtype=np.uint32)
+    lib.index_count_hashes(
+        nibbles.ctypes.data, n, exc_s.ctypes.data, exc_e.ctypes.data,
+        len(exclude), None, None, cnt2.ctypes.data, cnt3t.ctypes.data,
+        cnt3a.ctypes.data)
+
+    _stage(verbose, "selecting two-letter positions")
+    itl = np.zeros(n, dtype=np.uint8)
+    blocks = get_block_bounds(0, 1_000_000, lim2, exclude)
+    bstarts = np.asarray([b[0] for b in blocks], dtype=np.int64)
+    bends = np.asarray([b[1] for b in blocks], dtype=np.int64)
+    lib.index_select_two_letter(
+        nibbles.ctypes.data, cnt2.ctypes.data, cnt3t.ctypes.data,
+        cnt3a.ctypes.data, bstarts.ctypes.data, bends.ctypes.data,
+        len(blocks), itl.ctypes.data, n_threads)
+
+    _stage(verbose, "dynamic programming to optimize seed selection")
+    keep = np.zeros(n, dtype=np.uint8)
+    lib.compress_dp_blocks_mt(
+        nibbles.ctypes.data, cnt2.ctypes.data, cnt3t.ctypes.data,
+        cnt3a.ctypes.data, itl.ctypes.data, bstarts.ctypes.data,
+        bends.ctypes.data, len(blocks), WINDOW_SIZE, keep.ctypes.data,
+        n_threads)
+
+    _stage(verbose, "hashing and sorting buckets")
+    # masked recount over [0, lim2) for all tables (kept2/kept3 selections)
+    lib.index_count_hashes(
+        nibbles.ctypes.data, n, exc_s.ctypes.data, exc_e.ctypes.data,
+        len(exclude), keep.ctypes.data, itl.ctypes.data, cnt2.ctypes.data,
+        cnt3t.ctypes.data, cnt3a.ctypes.data)
+    counter = np.zeros(N_BUCKETS_TWO + 1, dtype=np.uint32)
+    np.cumsum(cnt2[:N_BUCKETS_TWO], dtype=np.uint32, out=counter[1:])
+    counter_t = np.zeros(N_BUCKETS_THREE + 1, dtype=np.uint32)
+    np.cumsum(cnt3t[:N_BUCKETS_THREE], dtype=np.uint32, out=counter_t[1:])
+    counter_a = np.zeros(N_BUCKETS_THREE + 1, dtype=np.uint32)
+    np.cumsum(cnt3a[:N_BUCKETS_THREE], dtype=np.uint32, out=counter_a[1:])
+    del cnt2, cnt3t, cnt3a
+
+    index = np.empty(int(counter[-1]), dtype=np.uint32)
+    index_t = np.empty(int(counter_t[-1]), dtype=np.uint32)
+    index_a = np.empty(int(counter_a[-1]), dtype=np.uint32)
+    lib.index_fill_and_sort(
+        nibbles.ctypes.data, n, exc_s.ctypes.data, exc_e.ctypes.data,
+        len(exclude), keep.ctypes.data, itl.ctypes.data,
+        counter.ctypes.data, counter_t.ctypes.data, counter_a.ctypes.data,
+        index.ctypes.data, index_t.ctypes.data, index_a.ctypes.data,
+        n_threads)
+
+    _stage(verbose, "")
+    return AbismalIndex(
+        cl=cl, genome_words=genome_words, counter=counter,
+        counter_t=counter_t, counter_a=counter_a, index=index,
+        index_t=index_t, index_a=index_a, exclude=exclude,
+    )
+
+
 def _build_from_genome(genome: np.ndarray, cl,
                        verbose: bool = False) -> "AbismalIndex":
     n = genome.shape[0]
@@ -376,14 +456,21 @@ def _build_from_genome(genome: np.ndarray, cl,
     )
 
 
-def create_index(genome_file: str, verbose: bool = False) -> AbismalIndex:
-    """Standard index build (AbismalIndex.cpp:281-331)."""
+def create_index(genome_file: str, verbose: bool = False,
+                 n_threads: int = 1, numpy_build: bool = False
+                 ) -> AbismalIndex:
+    """Standard index build (AbismalIndex.cpp:281-331).  The default path
+    is the streaming native build; `numpy_build` selects the vectorized
+    NumPy oracle (small genomes / differential tests)."""
     genome, cl = load_genome(genome_file)
-    return _build_from_genome(genome, cl, verbose)
+    if numpy_build:
+        return _build_from_genome(genome, cl, verbose)
+    return _build_from_genome_native(genome, cl, n_threads, verbose)
 
 
 def create_index_targets(targets_file: str, genome_file: str,
-                         verbose: bool = False) -> AbismalIndex:
+                         verbose: bool = False, n_threads: int = 1,
+                         numpy_build: bool = False) -> AbismalIndex:
     """Target-capture index build: mask everything outside the target
     regions before cleaning (AbismalIndex.cpp:206-279)."""
     genome, cl = load_genome(genome_file)
@@ -393,4 +480,6 @@ def create_index_targets(targets_file: str, genome_file: str,
     for chrom, s, e in ordered:
         flat.append((cl.get_pos(chrom, s), cl.get_pos(chrom, e)))
     mask_non_target(flat, genome)
-    return _build_from_genome(genome, cl, verbose)
+    if numpy_build:
+        return _build_from_genome(genome, cl, verbose)
+    return _build_from_genome_native(genome, cl, n_threads, verbose)

@@ -311,14 +311,22 @@ def build_stage1(lmax: int, max_candidates: int, n_index2: int,
             return (jnp.where(empty, p - 1, p), jnp.where(empty, plo, lo),
                     jnp.where(empty, phi, hi))
 
-        l2, s2x, e2x = extend_two(s2.reshape(-1), e2.reshape(-1))
-        l2 = l2.reshape(B, o_spec)
-        s2x = s2x.reshape(B, o_spec)
-        e2x = e2x.reshape(B, o_spec)
-        l3, s3x, e3x = extend_three(s3.reshape(-1), e3.reshape(-1))
-        l3 = l3.reshape(B, o_spec)
-        s3x = s3x.reshape(B, o_spec)
-        e3x = e3x.reshape(B, o_spec)
+        if os.environ.get("ABISMAL_TPU_NOEXT"):
+            # profiling-only variant: skip the binary-search extension
+            # (changes semantics; never used by the product path)
+            l2 = jnp.full((B, o_spec), KEY_WEIGHT, jnp.int32)
+            s2x, e2x = s2, e2
+            l3 = jnp.full((B, o_spec), KEY_WEIGHT_THREE, jnp.int32)
+            s3x, e3x = s3, e3
+        else:
+            l2, s2x, e2x = extend_two(s2.reshape(-1), e2.reshape(-1))
+            l2 = l2.reshape(B, o_spec)
+            s2x = s2x.reshape(B, o_spec)
+            e2x = e2x.reshape(B, o_spec)
+            l3, s3x, e3x = extend_three(s3.reshape(-1), e3.reshape(-1))
+            l3 = l3.reshape(B, o_spec)
+            s3x = s3x.reshape(B, o_spec)
+            e3x = e3x.reshape(B, o_spec)
 
         d2 = e2x - s2x
         d3 = e3x - s3x

@@ -70,6 +70,37 @@ def get_lib() -> ctypes.CDLL:
             ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,  # len/pos/score
         ]
 
+        lib.index_count_hashes.restype = None
+        lib.index_count_hashes.argtypes = [
+            ctypes.c_void_p, ctypes.c_int64,  # nibbles, n
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64,  # exclude
+            ctypes.c_void_p, ctypes.c_void_p,  # keep, itl (null = unmasked)
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,  # counts
+        ]
+
+        lib.index_select_two_letter.restype = None
+        lib.index_select_two_letter.argtypes = [
+            ctypes.c_void_p,  # nibbles
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,  # counts
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64,  # blocks
+            ctypes.c_void_p, ctypes.c_int,  # itl out, n_threads
+        ]
+
+        lib.compress_dp_blocks_mt.restype = None
+        lib.compress_dp_blocks_mt.argtypes = (
+            lib.compress_dp_blocks.argtypes + [ctypes.c_int]
+        )
+
+        lib.index_fill_and_sort.restype = None
+        lib.index_fill_and_sort.argtypes = [
+            ctypes.c_void_p, ctypes.c_int64,  # nibbles, n
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64,  # exclude
+            ctypes.c_void_p, ctypes.c_void_p,  # keep, itl
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,  # counters
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,  # indexes out
+            ctypes.c_int,  # n_threads
+        ]
+
         lib.simreads_native.restype = ctypes.c_int
         lib.simreads_native.argtypes = [
             ctypes.c_void_p, ctypes.c_int64,  # genome, size

@@ -759,3 +759,279 @@ simreads_native(const uint8_t *genome, int64_t genome_size,
 }
 
 }  // extern "C"
+
+// ---------------------------------------------------------------------------
+// Native index-construction stages (threaded), used by index/build.py for
+// large genomes: bucket counting (AbismalIndex.cpp:333-436), two-vs-three
+// classification (:471-543), counting-sort bucket fill (:545-641) and
+// per-bucket suffix sorting (:905-978).  All stages are streaming scans with
+// O(1) temporaries per thread, so hg38-scale genomes build without
+// materializing full-genome hash arrays.  Semantics mirror the repo's
+// NumPy build path (the oracle), including the interval-end skip quirk.
+// ---------------------------------------------------------------------------
+
+#include <atomic>
+#include <thread>
+
+namespace {
+
+const uint32_t IDX_N_BUCKETS_TWO = 1u << 25;
+const uint32_t IDX_N_BUCKETS_THREE = 43046721u;
+const int IDX_N_SORTING = 256;
+
+// iterate positions skipping exclude intervals [s, e] CLOSED at the end,
+// reproducing the reference's lazy iterator advance (the first position
+// after an excluded N run is tested against the stale interval and
+// silently skipped -- AbismalIndex.cpp:355-364)
+struct ExcludeWalker {
+  const int64_t *starts, *ends;
+  int64_t n;
+  int64_t i = 0;
+  inline bool skip(int64_t p) {
+    while (i < n && p > ends[i])
+      ++i;
+    return i < n && p >= starts[i] && p <= ends[i];
+  }
+};
+
+struct Roll2 {
+  uint32_t h = 0;
+  inline void push(uint8_t nb) { h = ((h << 1) | nib_bit(nb)) & HASH_MASK; }
+};
+struct Roll3CT {
+  uint32_t h = 0;
+  inline void push(uint8_t nb) {
+    h = (h * 3 + nib_three_ct(nb)) % HASH_MASK_THREE;
+  }
+};
+struct Roll3GA {
+  uint32_t h = 0;
+  inline void push(uint8_t nb) {
+    h = (h * 3 + nib_three_ga(nb)) % HASH_MASK_THREE;
+  }
+};
+
+// one full-genome rolling scan; calls fn(p, key) for every non-excluded,
+// mask-accepted position p in [0, lim)
+template <class Roll, class Fn>
+void scan_table(const uint8_t *nib, int64_t lim, int64_t warm,
+                const int64_t *exc_s, const int64_t *exc_e, int64_t n_exc,
+                const uint8_t *keep, const uint8_t *itl, int want_itl,
+                Fn fn) {
+  ExcludeWalker ex{exc_s, exc_e, n_exc};
+  Roll r;
+  for (int64_t j = 0; j < warm; ++j)
+    r.push(nib[j]);
+  for (int64_t p = 0; p < lim; ++p) {
+    r.push(nib[p + warm]);
+    if (ex.skip(p))
+      continue;
+    if (keep) {
+      if (!keep[p])
+        continue;
+      if (want_itl >= 0 && (int)itl[p] != want_itl)
+        continue;
+    }
+    fn(p, r.h);
+  }
+}
+
+}  // namespace
+
+extern "C" {
+
+// Bucket counting, one thread per table (the reference's
+// initialize_bucket_sizes).  Unmasked pass (keep == null): two-letter over
+// [0, lim2), three-letter over [0, lim3).  Masked pass: all tables over
+// [0, lim2) with keep && (itl for two-letter / !itl for three-letter),
+// exactly like the NumPy build's kept2/kept3 selections.
+void
+index_count_hashes(const uint8_t *nib, int64_t n, const int64_t *exc_s,
+                   const int64_t *exc_e, int64_t n_exc, const uint8_t *keep,
+                   const uint8_t *itl, uint32_t *cnt2, uint32_t *cnt3t,
+                   uint32_t *cnt3a) {
+  const int64_t lim2 = n - KEY_WEIGHT + 1;
+  const int64_t lim3 = keep ? lim2 : n - KEY_WEIGHT_THREE + 1;
+  std::thread t1([&]() {
+    std::memset(cnt2, 0, sizeof(uint32_t) * (IDX_N_BUCKETS_TWO + 1));
+    scan_table<Roll2>(nib, lim2, KEY_WEIGHT - 1, exc_s, exc_e, n_exc, keep,
+                      itl, keep ? 1 : -1,
+                      [&](int64_t, uint32_t k) { ++cnt2[k]; });
+  });
+  std::thread t2([&]() {
+    std::memset(cnt3t, 0, sizeof(uint32_t) * (IDX_N_BUCKETS_THREE + 1));
+    scan_table<Roll3CT>(nib, lim3, KEY_WEIGHT_THREE - 1, exc_s, exc_e, n_exc,
+                        keep, itl, keep ? 0 : -1,
+                        [&](int64_t, uint32_t k) { ++cnt3t[k]; });
+  });
+  std::thread t3([&]() {
+    std::memset(cnt3a, 0, sizeof(uint32_t) * (IDX_N_BUCKETS_THREE + 1));
+    scan_table<Roll3GA>(nib, lim3, KEY_WEIGHT_THREE - 1, exc_s, exc_e, n_exc,
+                        keep, itl, keep ? 0 : -1,
+                        [&](int64_t, uint32_t k) { ++cnt3a[k]; });
+  });
+  t1.join();
+  t2.join();
+  t3.join();
+}
+
+// Two- vs three-letter classification over the block decomposition
+// (AbismalIndex.cpp:471-543): itl[p] = cnt2[k2(p)] <= (ct[k3t(p)] +
+// ca[k3a(p)]) >> 1 (the three-letter cost sums in 64 bits), block-parallel.
+void
+index_select_two_letter(const uint8_t *nib, const uint32_t *cnt2,
+                        const uint32_t *cnt3t, const uint32_t *cnt3a,
+                        const int64_t *bs, const int64_t *be,
+                        int64_t n_blocks, uint8_t *itl, int n_threads) {
+  std::atomic<int64_t> next(0);
+  auto worker = [&]() {
+    for (;;) {
+      const int64_t b = next.fetch_add(1);
+      if (b >= n_blocks)
+        return;
+      Roll2 r2;
+      Roll3CT rt;
+      Roll3GA ra;
+      const int64_t s = bs[b], e = be[b];
+      for (int64_t j = s; j < s + KEY_WEIGHT - 1; ++j)
+        r2.push(nib[j]);
+      for (int64_t j = s; j < s + KEY_WEIGHT_THREE - 1; ++j) {
+        rt.push(nib[j]);
+        ra.push(nib[j]);
+      }
+      for (int64_t p = s; p < e; ++p) {
+        r2.push(nib[p + KEY_WEIGHT - 1]);
+        rt.push(nib[p + KEY_WEIGHT_THREE - 1]);
+        ra.push(nib[p + KEY_WEIGHT_THREE - 1]);
+        const uint64_t three = ((uint64_t)cnt3t[rt.h] + cnt3a[ra.h]) >> 1;
+        itl[p] = (uint64_t)cnt2[r2.h] <= three ? 1 : 0;
+      }
+    }
+  };
+  std::vector<std::thread> ts;
+  for (int t = 0; t < std::max(1, n_threads); ++t)
+    ts.emplace_back(worker);
+  for (auto &t : ts)
+    t.join();
+}
+
+// Block-parallel wrapper over the seed-selection DP (compress_dp_blocks
+// above); blocks are independent (AbismalIndex.cpp:738-751).
+void
+compress_dp_blocks_mt(const uint8_t *nib, const uint32_t *counter,
+                      const uint32_t *counter_t, const uint32_t *counter_a,
+                      const uint8_t *itl, const int64_t *block_starts,
+                      const int64_t *block_ends, int64_t n_blocks,
+                      uint32_t window, uint8_t *keep, int n_threads) {
+  std::atomic<int64_t> next(0);
+  auto worker = [&]() {
+    for (;;) {
+      const int64_t b = next.fetch_add(1);
+      if (b >= n_blocks)
+        return;
+      compress_dp_blocks(nib, counter, counter_t, counter_a, itl,
+                         block_starts + b, block_ends + b, 1, window, keep);
+    }
+  };
+  std::vector<std::thread> ts;
+  for (int t = 0; t < std::max(1, n_threads); ++t)
+    ts.emplace_back(worker);
+  for (auto &t : ts)
+    t.join();
+}
+
+// Counting-sort bucket fill + per-bucket suffix sort.  counterX are the
+// final prefix arrays (n_buckets + 1); positions are written back-to-front
+// (ascending scan into decrementing slots = descending position within a
+// bucket), then each bucket is stable_sorted by the reduced-alphabet
+// suffix over symbols [key_weight, 256) -- equal suffixes keep descending
+// position order, matching the NumPy lexsort oracle and the reference.
+void
+index_fill_and_sort(const uint8_t *nib, int64_t n, const int64_t *exc_s,
+                    const int64_t *exc_e, int64_t n_exc, const uint8_t *keep,
+                    const uint8_t *itl, const uint32_t *counter2,
+                    const uint32_t *counter3t, const uint32_t *counter3a,
+                    uint32_t *index2, uint32_t *index_t, uint32_t *index_a,
+                    int n_threads) {
+  const int64_t lim2 = n - KEY_WEIGHT + 1;
+
+  auto fill = [&](const uint32_t *counter, int64_t n_buckets, uint32_t *out,
+                  int want_itl, auto roll, int64_t warm) {
+    std::vector<uint32_t> ctr(counter + 1, counter + n_buckets + 1);
+    scan_table<decltype(roll)>(
+      nib, lim2, warm, exc_s, exc_e, n_exc, keep, itl, want_itl,
+      [&](int64_t p, uint32_t k) { out[--ctr[k]] = (uint32_t)p; });
+  };
+
+  std::thread f1([&]() {
+    fill(counter2, IDX_N_BUCKETS_TWO, index2, 1, Roll2(), KEY_WEIGHT - 1);
+  });
+  std::thread f2([&]() {
+    fill(counter3t, IDX_N_BUCKETS_THREE, index_t, 0, Roll3CT(),
+         KEY_WEIGHT_THREE - 1);
+  });
+  std::thread f3([&]() {
+    fill(counter3a, IDX_N_BUCKETS_THREE, index_a, 0, Roll3GA(),
+         KEY_WEIGHT_THREE - 1);
+  });
+  f1.join();
+  f2.join();
+  f3.join();
+
+  // per-bucket suffix sorts, threaded over bucket ranges
+  auto sort_table = [&](const uint32_t *counter, int64_t n_buckets,
+                        uint32_t *out, int mode) {
+    // mode 0: two-letter bit compare; 1: nt & 5; 2: nt & 10
+    auto cmp2 = [&](uint32_t a, uint32_t b) {
+      for (int i = KEY_WEIGHT; i < IDX_N_SORTING; ++i) {
+        const uint8_t ba = nib_bit(nib[a + i]), bb = nib_bit(nib[b + i]);
+        if (ba != bb)
+          return ba < bb;
+      }
+      return false;
+    };
+    auto cmp3 = [&](uint8_t mask) {
+      return [&, mask](uint32_t a, uint32_t b) {
+        for (int i = KEY_WEIGHT_THREE; i < IDX_N_SORTING; ++i) {
+          const uint8_t sa = nib[a + i] & mask, sb = nib[b + i] & mask;
+          if (sa != sb)
+            return sa < sb;
+        }
+        return false;
+      };
+    };
+    const int64_t grab = 1 << 16;
+    std::atomic<int64_t> next(0);
+    auto worker = [&]() {
+      for (;;) {
+        const int64_t g = next.fetch_add(1);
+        const int64_t b0 = g * grab;
+        if (b0 >= n_buckets)
+          return;
+        const int64_t b1 = std::min(n_buckets, b0 + grab);
+        for (int64_t b = b0; b < b1; ++b) {
+          const uint32_t s = counter[b], e = counter[b + 1];
+          if (e - s < 2)
+            continue;
+          if (mode == 0)
+            std::stable_sort(out + s, out + e, cmp2);
+          else if (mode == 1)
+            std::stable_sort(out + s, out + e, cmp3(5));
+          else
+            std::stable_sort(out + s, out + e, cmp3(10));
+        }
+      }
+    };
+    std::vector<std::thread> ts;
+    for (int t = 0; t < std::max(1, n_threads); ++t)
+      ts.emplace_back(worker);
+    for (auto &t : ts)
+      t.join();
+  };
+
+  sort_table(counter2, IDX_N_BUCKETS_TWO, index2, 0);
+  sort_table(counter3t, IDX_N_BUCKETS_THREE, index_t, 1);
+  sort_table(counter3a, IDX_N_BUCKETS_THREE, index_a, 2);
+}
+
+}  // extern "C"
