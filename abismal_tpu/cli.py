@@ -81,6 +81,13 @@ def cmd_sim(argv):
     p.add_argument("-a", "--pbat", action="store_true")
     p.add_argument("-R", "--random-pbat", action="store_true")
     p.add_argument("-s", "--strand", default="b")
+    p.add_argument("--show-matches", dest="show_matches",
+                   action="store_false", default=True,
+                   help="toggle match symbols in loc cigars off (the "
+                        "reference's bool options toggle their default)")
+    p.add_argument("--require-valid", action="store_true",
+                   help="resample fragments per the reference's "
+                        "require-valid loop (RNG-consumption compatible)")
     p.add_argument("--fasta", action="store_true")
     p.add_argument("--seed", type=int, default=None)
     p.add_argument("-v", "--verbose", action="store_true")
@@ -100,6 +107,7 @@ def cmd_sim(argv):
         mutation_rate=a.mut, substitution_rate=sub, insertion_rate=ins,
         deletion_rate=dele, bs_conv=a.bis, strand=a.strand, pbat=a.pbat,
         random_pbat=a.random_pbat, single_end=a.single, fasta_format=a.fasta,
+        show_cigar_matches=a.show_matches, require_valid=a.require_valid,
         locations_file=a.loc, seed=seed,
     )
     simulate_reads(a.genome_fasta, cfg)

@@ -164,3 +164,43 @@ def score_jobs(genome_nib: np.ndarray, jobs, lp: int = 128,
     scorer = build_banded_scorer(lp, interpret=interpret)
     out = np.asarray(scorer(q_shift, win, bw, qsz))
     return [int(out[i, 0]) for i in range(len(jobs))]
+
+
+def build_device_align(lp: int = 128, jb: int = 16, interpret: bool = False):
+    """Device-resident batched scoring for the mapping hot path: takes the
+    packed genome + the stage-1 unit matrix already in HBM plus compact job
+    descriptors (unit row, genome pos, band width, query length), builds the
+    shifted query rows and genome windows with on-device gathers, and runs
+    the Pallas banded scorer.  Upload cost is ~20 B/job; download 4 B/job.
+
+    Returns a jitted f(genome32, pnib, unit_id, pos, bw, qsz) -> (J,) i32.
+    pnib is the stage-1 nibble-packed unit matrix (two query nibbles per
+    byte); jobs must be padded to a multiple of jb with qsz=0, bw=1 and an
+    in-genome pos (the 32767-N padding guarantees index safety)."""
+    import jax
+    import jax.numpy as jnp
+
+    scorer = build_banded_scorer(lp, jb, interpret=interpret)
+    qw = lp + BW_MAX + LANES
+    ww = lp + BW_MAX + 2
+
+    def prog(genome32, pnib, unit_id, pos, bw, qsz):
+        j = unit_id.shape[0]
+        rows = pnib[unit_id]
+        q = jnp.stack([rows & np.uint8(0xF), rows >> np.uint8(4)],
+                      axis=2).reshape(j, -1)
+        col = jnp.arange(qw, dtype=jnp.int32)[None, :]
+        src = col - bw[:, None]
+        valid = (src >= 0) & (src < qsz[:, None])
+        srcc = jnp.clip(src, 0, q.shape[1] - 1)
+        q_shift = jnp.where(valid, jnp.take_along_axis(q, srcc, axis=1),
+                            np.uint8(0))
+        t_beg = pos - ((bw - 1) // 2).astype(jnp.uint32)
+        gpos = t_beg[:, None] + jnp.arange(ww, dtype=jnp.uint32)[None, :]
+        word = genome32[(gpos >> np.uint32(3)).astype(jnp.int32)]
+        win = ((word >> ((gpos & np.uint32(7)) * np.uint32(4)))
+               & np.uint32(0xF)).astype(jnp.uint8)
+        out = scorer(q_shift, win, bw[:, None], qsz[:, None])
+        return out[:, 0]
+
+    return jax.jit(prog)

@@ -142,6 +142,38 @@ class NativeMappingEngine:
             for i, f in enumerate(_SE_FIELDS):
                 setattr(dst, f, getattr(dst, f) + int(st[6 * blk + i]))
 
+    # ---- two-phase SE interface for device-side batched alignment ---------
+    def _phase1_se(self, reads, a_rich_mode, random_pbat, events):
+        """Seeds the batch and emits alignment jobs; returns (n_jobs, jobs)
+        where jobs is int32 (n_jobs, 5): read, enc_sel, pos, bw, qsz.  The
+        input blobs are pinned on self until _phase2_se runs."""
+        names, seqs = zip(*reads) if reads else ((), ())
+        rblob, roffs = _blob(list(seqs))
+        nblob, noffs = _blob([n.encode() for n in names])
+        self._phase_refs = (rblob, roffs, nblob, noffs, events)
+        n_jobs = self.lib.engine_se_phase1(
+            self._ctx, _ptr(rblob), _ptr(roffs), _ptr(nblob), _ptr(noffs),
+            len(reads), int(a_rich_mode), int(random_pbat),
+            *self._event_args(events), self.n_threads)
+        jobs = np.zeros((0, 5), dtype=np.int32)
+        if n_jobs:
+            ptr = self.lib.engine_jobs_ptr(self._ctx)
+            jobs = np.ctypeslib.as_array(
+                ctypes.cast(ptr, ctypes.POINTER(ctypes.c_int32)),
+                shape=(int(n_jobs), 5)).copy()
+        return int(n_jobs), jobs
+
+    def _phase2_se(self, scores, stats, out):
+        st = np.zeros(6, dtype=np.int64)
+        scores = np.ascontiguousarray(scores, dtype=np.int32)
+        n = self.lib.engine_se_phase2(self._ctx, _ptr(scores),
+                                      self.n_threads, _ptr(st))
+        out.write(ctypes.string_at(self.lib.engine_out_ptr(self._ctx),
+                                   n).decode())
+        for i, f in enumerate(_SE_FIELDS):
+            setattr(stats, f, getattr(stats, f) + int(st[i]))
+        self._phase_refs = None
+
     # ---- pipelined interface (dispatch/finish; no-op split here) -----------
     def dispatch_se(self, reads, a_rich_mode, random_pbat):
         return (reads, a_rich_mode, random_pbat, None)
@@ -180,7 +212,10 @@ def run_map_pipelined(engine, index, reads_file1, reads_file2, out_path,
 
     from ..io.sam import open_sam_output
 
+    from collections import deque
+
     paired = reads_file2 is not None
+    depth = max(1, getattr(engine, "pipeline_depth", 1))
     start_time = _time.monotonic()
     n_processed = 0
     with open_sam_output(out_path, bam) as out:
@@ -189,38 +224,37 @@ def run_map_pipelined(engine, index, reads_file1, reads_file2, out_path,
             stats = SEStats()
             a_rich_mode = a_rich or pbat
             rl = ReadLoader(reads_file1)
-            prev = None
+            q = deque()
             while rl:
                 batch = rl.load_batch()
-                cur = (engine.dispatch_se(batch, a_rich_mode, random_pbat)
-                       if batch else None)
-                if prev is not None:
-                    n_processed += engine.finish_se(prev, stats, out)
+                if batch:
+                    q.append(engine.dispatch_se(batch, a_rich_mode,
+                                                random_pbat))
+                while len(q) > (depth if rl else 0):
+                    n_processed += engine.finish_se(q.popleft(), stats, out)
                     if verbose:
                         print(f"[mapped {n_processed} reads]",
                               file=sys.stderr)
-                prev = cur
-            if prev is not None:
-                n_processed += engine.finish_se(prev, stats, out)
+            while q:
+                n_processed += engine.finish_se(q.popleft(), stats, out)
         else:
             stats = PEStats()
             rl1 = ReadLoader(reads_file1)
             rl2 = ReadLoader(reads_file2)
-            prev = None
+            q = deque()
             while rl1 and rl2:
                 b1 = rl1.load_batch()
                 b2 = rl2.load_batch()
-                # PE ignores -A; conversion mode is pbat only
-                cur = (engine.dispatch_pe(b1, b2, pbat, random_pbat)
-                       if (b1 or b2) else None)
-                if prev is not None:
-                    n_processed += engine.finish_pe(prev, stats, out)
+                if b1 or b2:
+                    # PE ignores -A; conversion mode is pbat only
+                    q.append(engine.dispatch_pe(b1, b2, pbat, random_pbat))
+                while len(q) > (depth if (rl1 and rl2) else 0):
+                    n_processed += engine.finish_pe(q.popleft(), stats, out)
                     if verbose:
                         print(f"[mapped {n_processed} read pairs]",
                               file=sys.stderr)
-                prev = cur
-            if prev is not None:
-                n_processed += engine.finish_pe(prev, stats, out)
+            while q:
+                n_processed += engine.finish_pe(q.popleft(), stats, out)
 
     if verbose:
         fb = getattr(engine, "n_fallback", None)

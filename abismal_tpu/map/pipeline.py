@@ -33,8 +33,20 @@ from ..constants import (
 )
 
 SLOT = 128  # max candidates checked per (offset, table); > max_candidates
-GCAP_PER_UNIT = 48  # global event stream budget per unit
 HASH3_MOD = 43046721  # 3^16
+
+
+def auto_cand_budget(n_index2: int, n_index3: int, lmax: int) -> int:
+    """Global per-unit candidate budget sized to the index's bucket
+    density: large genomes have ~genome_size/2^25 positions per two-letter
+    bucket, so the toy-genome default would dump every unit onto the host
+    fallback path.  Clipped to keep the compiled gather pass bounded."""
+    o_spec = o_spec_for(lmax)
+    o_sens = lmax - KEY_WEIGHT + 1
+    avg2 = n_index2 / float(1 << KEY_WEIGHT)
+    avg3 = n_index3 / float(HASH3_MOD)
+    est = int((avg2 + avg3) * (o_spec + o_sens) * 8)
+    return max(384, min(8192, (est + 127) & ~127))
 
 
 def o_spec_for(lmax: int) -> int:
@@ -108,7 +120,8 @@ class DeviceIndex:
 
 
 def build_stage1(lmax: int, max_candidates: int, n_index2: int,
-                 n_index3: int):
+                 n_index3: int, cand_per_unit: int | None = None,
+                 gcap_per_unit: int | None = None):
     """Builds the jitted stage-1 function for a given padded read length.
 
     v2 design -- offset-parallel, compaction before compare:
@@ -126,7 +139,19 @@ def build_stage1(lmax: int, max_candidates: int, n_index2: int,
          global stream for the host replay.
 
     Memoized per parameter tuple so engines share one compilation."""
-    memo_key = (lmax, max_candidates, n_index2, n_index3)
+    # global candidate budget per unit, pooled across the batch; units
+    # beyond it fall back to the exact host path.  Defaults scale with the
+    # index's bucket density (auto_cand_budget); env knobs override.
+    if cand_per_unit is None:
+        cand_per_unit = auto_cand_budget(n_index2, n_index3, lmax)
+    cand_per_unit = int(os.environ.get("ABISMAL_TPU_CAND_PER_UNIT",
+                                       cand_per_unit))
+    if gcap_per_unit is None:
+        gcap_per_unit = 32
+    gcap_per_unit = int(os.environ.get("ABISMAL_TPU_GCAP_PER_UNIT",
+                                       gcap_per_unit))
+    memo_key = (lmax, max_candidates, n_index2, n_index3, cand_per_unit,
+                gcap_per_unit)
     if memo_key in _stage1_memo:
         return _stage1_memo[memo_key]
     jax, jnp = _jm()
@@ -135,10 +160,8 @@ def build_stage1(lmax: int, max_candidates: int, n_index2: int,
     n_cells = (o_spec + o_sens) * 2
     n_words = 2 * ((lmax + 15) // 16)  # u32 words incl. the 0xF tail block
     CELLCAP = SLOT  # max candidates per cell
-    # global candidate budget per unit: measured mean on realistic WGBS
-    # reads is ~115 with p99 ~1.3k; the budget is pooled across the batch,
-    # and units beyond it fall back to the exact host path
-    CAND_PER_UNIT = int(os.environ.get("ABISMAL_TPU_CAND_PER_UNIT", "384"))
+    CAND_PER_UNIT = cand_per_unit
+    GCAP_PER_UNIT = gcap_per_unit
 
     # static per-cell offset table in discovery-rank order:
     # spec cells (i*2 + table), then sens cells ((o_spec+i)*2 + table)
@@ -154,19 +177,38 @@ def build_stage1(lmax: int, max_candidates: int, n_index2: int,
         word = genome32[(pos >> np.uint32(3)).astype(jnp.int32)]
         return (word >> ((pos & np.uint32(7)) * np.uint32(4))) & np.uint32(0xF)
 
-    def stage1(genome32, counter2, counter3, index_all, preads, packed,
-               wmask, lens, is_ga, thr):
-        """preads: (B, lmax+32) u8 zero-padded; packed: (B, n_words) u32;
-        wmask: (B, n_words) i32; lens: (B,) i32; is_ga: (B,) bool; thr:
-        (B,) i32 = floor(0.4*len).
+    def stage1(genome32, counter2, counter3, index_all, pnib, lens,
+               is_ga, thr):
+        """pnib: (B, (lmax+32)/2) u8 with two read nibbles per byte (base i
+        in nibble i&1 of byte i>>1); lens: (B,) i32; is_ga: (B,) bool; thr:
+        (B,) i32 = floor(0.4*len).  Unpacking, word packing and word masks
+        are all derived on device (abismal.cpp:1388-1426) -- the host
+        uploads half a byte per base, because the host<->device link is
+        the system bottleneck, not device compute.
 
         Returns (gpos, gmeta, count, overflow): a global event stream
-        (u32 positions and diffs<<25|rank), per-unit event counts, and
-        per-unit host-fallback flags."""
-        B = preads.shape[0]
+        (u32 positions and (diffs+512)<<22|rank), per-unit event counts,
+        and per-unit host-fallback flags."""
+        B = pnib.shape[0]
         gcap = B * GCAP_PER_UNIT
         gflat = B * CAND_PER_UNIT
+        preads = jnp.stack(
+            [pnib & np.uint8(0xF), pnib >> np.uint8(4)], axis=2
+        ).reshape(B, -1)
         ip = preads.astype(jnp.int32)
+
+        # --- pack reads into u32 words, tail padded with 0xF match-any ---
+        base = jnp.arange(n_words * 8, dtype=jnp.int32)[None, :]
+        pad16 = ((lens + 15) // 16) * 16
+        nibv = jnp.where(
+            base < lens[:, None], preads[:, : n_words * 8].astype(jnp.uint32),
+            jnp.where(base < pad16[:, None], np.uint32(0xF), np.uint32(0)))
+        nibv = nibv.reshape(B, n_words, 8)
+        packed = nibv[:, :, 0]
+        for k in range(1, 8):
+            packed = packed | (nibv[:, :, k] << np.uint32(4 * k))
+        wmask = (jnp.arange(n_words, dtype=jnp.int32)[None, :]
+                 < (2 * ((lens + 15) // 16))[:, None]).astype(jnp.int32)
 
         # --- rolling hashes for every offset (AbismalIndex.hpp:271-305) ---
         bits = ((ip & 5) == 0).astype(jnp.uint32)
@@ -535,26 +577,42 @@ class TpuMappingEngine(MappingEngine):
                 reads = [u[1] for u in chunk]
                 if not chunk:
                     continue
-            preads, packed, wmask, lens = prepare_units(reads, self.lmax)
+            preads, lens = prepare_units(reads, self.lmax)
             pad = B - len(chunk)
             if pad:
                 preads = np.pad(preads, ((0, pad), (0, 0)))
-                packed = np.pad(packed, ((0, pad), (0, 0)))
-                wmask = np.pad(wmask, ((0, pad), (0, 0)))
                 lens = np.pad(lens, (0, pad))
             is_ga = np.zeros(B, dtype=bool)
             for i, u in enumerate(chunk):
                 is_ga[i] = u[2]
             thr = ((2 * lens.astype(np.int64)) // 5).astype(np.int32)
-            pending.append((chunk, self.stage1(
-                *self.dev.tables(), preads, packed, wmask, lens, is_ga, thr)))
+            pn = preads
+            if getattr(self, "device_align", False) and self.mesh is None:
+                # keep the unit matrix resident: the align program reuses
+                # it for query gathers instead of re-uploading queries
+                import jax
+
+                pn = jax.device_put(preads)
+            out = self._stage1_call(pn, lens, is_ga, thr)
+            for arr in out:
+                # start the device->host copy immediately so it overlaps
+                # the native decode of earlier batches (the tunnel link is
+                # the bottleneck, not device compute)
+                try:
+                    arr.copy_to_host_async()
+                except (AttributeError, RuntimeError):
+                    pass
+            pending.append((chunk, out, pn))
         return pre_cache, pending
+
+    def _stage1_call(self, preads, lens, is_ga, thr):
+        return self.stage1(*self.dev.tables(), preads, lens, is_ga, thr)
 
     def _collect_units(self, dispatched):
         """Pulls dispatched device results into an event-cache dict."""
         pre_cache, pending = dispatched
         cache = dict(pre_cache)
-        for chunk, (ev_dev, cf_dev) in pending:
+        for chunk, (ev_dev, cf_dev), _pn in pending:
             ev = np.asarray(ev_dev)
             cf = np.asarray(cf_dev)
             count = cf & 0x3FFFFFFF
@@ -659,11 +717,13 @@ class TpuNativeEngine:
     byte-identical to the reference at any fallback rate."""
 
     supports_pipeline = True
+    pipeline_depth = 2  # batches in flight ahead of the native finish
 
     def __init__(self, index, allow_ambig=False, valid_frac=0.1,
                  pe_min_dist=32, pe_max_dist=3000, lmax: int = 128,
-                 unit_batch: int = 1024, n_threads: int = 1,
-                 device_put=None):
+                 unit_batch: int = 2048, n_threads: int = 1,
+                 device_put=None, mesh_devices=None, device_align=None,
+                 align_jcap: int = 8192):
         from .native_engine import NativeMappingEngine
 
         self.native = NativeMappingEngine(index, allow_ambig, valid_frac,
@@ -677,6 +737,44 @@ class TpuNativeEngine:
             self.dev.n_index3)
         self.n_fallback = 0
         self.n_units = 0
+        # device-side batched alignment scoring (SE): the Pallas banded
+        # kernel scores all candidate hits between seed replay and the
+        # native decide stage.  Off by default on tunnel-attached chips
+        # (the extra roundtrip costs more than 4 host cores of C++ align);
+        # the right default for locally attached TPUs.
+        if device_align is None:
+            device_align = bool(int(os.environ.get(
+                "ABISMAL_TPU_DEVICE_ALIGN", "0")))
+        self.device_align = bool(device_align) and not mesh_devices
+        self.align_jcap = align_jcap
+        self._align_prog = None
+        self._unit_loc = None
+        self.n_device_aligned = 0
+        self.mesh = None
+        self.n_shards = 1
+        if mesh_devices:
+            # multi-chip: units sharded over the mesh's data axis, index
+            # tables replicated in every chip's HBM, event counts psum'd
+            # (SURVEY 2.5); output stays byte-identical because shard
+            # boundaries only re-pool the per-shard event budgets
+            from ..parallel.mesh import (
+                make_mesh, replicate_tables, shard_stage1,
+            )
+
+            self.mesh = make_mesh(
+                None if mesh_devices == "all" else int(mesh_devices))
+            self.n_shards = int(self.mesh.devices.size)
+            if self.unit_batch % self.n_shards:
+                raise ValueError("unit_batch must divide by mesh size")
+            self._tables = replicate_tables(self.dev, self.mesh)
+            self._stage1_sharded = shard_stage1(self.stage1, self.mesh)
+
+    def _stage1_call(self, preads, lens, is_ga, thr):
+        if self.mesh is None:
+            return self.stage1(*self.dev.tables(), preads, lens, is_ga, thr)
+        ev, cf, _total = self._stage1_sharded(
+            self._tables, preads, lens, is_ga, thr)
+        return ev, cf
 
     @property
     def n_threads(self):
@@ -751,29 +849,52 @@ class TpuNativeEngine:
         pre_cache, pending = dispatched
         start = np.zeros(n_units, dtype=np.int64)
         count = np.full(n_units, -1, dtype=np.int64)
+        # unit -> (chunk, device row) mapping for the device align program
+        unit_chunk = np.full(n_units, -1, dtype=np.int32)
+        unit_row = np.zeros(n_units, dtype=np.int32)
         pos_parts, diff_parts, rank_parts = [], [], []
         base = 0
-        for chunk, (ev_dev, cf_dev) in pending:
+        for ci, (chunk, (ev_dev, cf_dev), _pn) in enumerate(pending):
             ev = np.asarray(ev_dev)
             cf = np.asarray(cf_dev)
             cnt = (cf & 0x3FFFFFFF).astype(np.int64)
             overflow = (cf >> 30) != 0
-            gpos, gmeta = ev[0], ev[1]
-            prefix = np.concatenate(([0], np.cumsum(cnt)))
-            total = int(prefix[-1])
-            pos_parts.append(gpos[:total])
-            diff_parts.append((gmeta[:total] >> 22).astype(np.int32) - 512)
-            rank_parts.append((gmeta[:total] & 0x3FFFFF).astype(np.int32))
+            # sharded results stack each shard's (pos, meta) rows along
+            # axis 0: shard s owns rows (2s, 2s+1) with its own compacted
+            # stream; per-unit offsets restart at each shard boundary
+            n_sh = ev.shape[0] // 2
+            b_local = cnt.shape[0] // n_sh
+            cnt2d = cnt.reshape(n_sh, b_local)
+            within = np.cumsum(cnt2d, axis=1) - cnt2d
+            # clamp to the stream capacity: when a shard's accepted events
+            # exceed gcap the device truncates the stream (and flags every
+            # affected unit overflow); the offset bookkeeping must use the
+            # written length, not the accepted count, or every later shard
+            # and chunk decodes shifted garbage
+            gcap = ev.shape[1]
+            totals = np.minimum(within[:, -1] + cnt2d[:, -1], gcap)
+            shard_base = np.concatenate(([0], np.cumsum(totals)))[:-1]
+            unit_start_flat = (shard_base[:, None] + within).reshape(-1)
+            for s in range(n_sh):
+                t = int(totals[s])
+                gpos, gmeta = ev[2 * s], ev[2 * s + 1]
+                pos_parts.append(gpos[:t])
+                diff_parts.append((gmeta[:t] >> 22).astype(np.int32) - 512)
+                rank_parts.append((gmeta[:t] & 0x3FFFFF).astype(np.int32))
+            total = int(totals.sum())
             for i, u in enumerate(chunk):
                 self.n_units += 1
+                unit_chunk[u[0]] = ci
+                unit_row[u[0]] = i
                 if overflow[i]:
                     self.n_fallback += 1
                 else:
-                    start[u[0]] = base + prefix[i]
+                    start[u[0]] = base + unit_start_flat[i]
                     count[u[0]] = cnt[i]
             base += total
         self.n_units += len(pre_cache)
         self.n_fallback += len(pre_cache)
+        self._unit_loc = (unit_chunk, unit_row)
         if pos_parts:
             ev_pos = np.ascontiguousarray(np.concatenate(pos_parts))
             ev_diffs = np.ascontiguousarray(np.concatenate(diff_parts))
@@ -794,8 +915,59 @@ class TpuNativeEngine:
     def finish_se(self, handle, stats, out):
         reads, arm, rp, n_units, disp = handle
         events = self._collect_flat(disp, n_units)
-        self.native._call_se(reads, arm, rp, stats, out, events)
+        if not self.device_align:
+            self.native._call_se(reads, arm, rp, stats, out, events)
+            return len(reads)
+        n_jobs, jobs = self.native._phase1_se(reads, arm, rp, events)
+        scores = np.full(n_jobs, np.iinfo(np.int32).min, dtype=np.int32)
+        if n_jobs:
+            self._score_jobs_on_device(jobs, scores, rp, disp[1])
+        self.native._phase2_se(scores, stats, out)
         return len(reads)
+
+    def _score_jobs_on_device(self, jobs, scores, random_pbat, pending):
+        """Scores alignment jobs with the Pallas banded kernel, reusing the
+        stage-1 unit matrices already resident on the device.  Jobs whose
+        queries are not resident (oversized reads) or beyond the per-chunk
+        job cap keep the sentinel and are scored natively in phase 2."""
+        from ..kernels.banded_align import build_device_align
+
+        if self._align_prog is None:
+            import jax
+
+            # Mosaic kernels need a TPU; CPU (tests) runs interpret mode
+            interp = jax.default_backend() == "cpu"
+            self._align_prog = build_device_align(self.lmax,
+                                                  interpret=interp)
+        uc, ur = self._unit_loc
+        r, enc = jobs[:, 0], jobs[:, 1]
+        per = 4 if random_pbat else 2
+        if random_pbat:
+            uoff = np.array([0, 2, 1, 3], dtype=np.int32)[enc]
+        else:
+            uoff = ((enc == 1) | (enc == 3)).astype(np.int32)
+        uid = per * r + uoff
+        cidx = uc[uid]
+        row = ur[uid]
+        jcap = self.align_jcap
+        for ci, (_chunk, _outs, pn) in enumerate(pending):
+            sel = np.flatnonzero(cidx == ci)
+            if sel.size == 0:
+                continue
+            take = sel[:jcap]
+            unit_id = np.zeros(jcap, dtype=np.int32)
+            pos = np.full(jcap, 32767, dtype=np.uint32)  # padding-safe
+            bw = np.ones(jcap, dtype=np.int32)
+            qsz = np.zeros(jcap, dtype=np.int32)
+            n = take.shape[0]
+            unit_id[:n] = row[take]
+            pos[:n] = jobs[take, 2].astype(np.int64) & 0xFFFFFFFF
+            bw[:n] = jobs[take, 3]
+            qsz[:n] = jobs[take, 4]
+            res = np.asarray(self._align_prog(
+                self.dev.genome32, pn, unit_id, pos, bw, qsz))
+            scores[take] = res[:n]
+            self.n_device_aligned += int(n)
 
     def dispatch_pe(self, reads1, reads2, a_rich_mode, random_pbat):
         units, n_units = self._pe_units_flat(reads1, reads2, a_rich_mode,
@@ -838,21 +1010,23 @@ def make_native_engine_factory(n_threads: int = 1):
     return factory
 
 
-def make_tpu_native_engine_factory(lmax: int = 128, unit_batch: int = 1024,
-                                   n_threads: int = 1):
-    """Flagship: device stage-1 + native stage-2, memoized per index."""
+def make_tpu_native_engine_factory(lmax: int = 128, unit_batch: int = 2048,
+                                   n_threads: int = 1, mesh_devices=None):
+    """Flagship: device stage-1 + native stage-2, memoized per index.
+    mesh_devices="all" (or an int) shards unit batches over the local
+    device mesh with the index replicated per chip."""
 
     def factory(index, allow_ambig, valid_frac, pe_min_dist, pe_max_dist):
         key = ("tpu-native", id(index), int(index.max_candidates),
                allow_ambig, valid_frac, pe_min_dist, pe_max_dist, lmax,
-               unit_batch)
+               unit_batch, mesh_devices)
         hit = _engine_memo.get(key)
         if hit is not None and hit[0] is index:
             hit[1].n_threads = n_threads
             return hit[1]
         eng = TpuNativeEngine(index, allow_ambig, valid_frac, pe_min_dist,
                               pe_max_dist, lmax=lmax, unit_batch=unit_batch,
-                              n_threads=n_threads)
+                              n_threads=n_threads, mesh_devices=mesh_devices)
         _engine_memo[key] = (index, eng)
         return eng
 
@@ -882,28 +1056,18 @@ def make_tpu_engine_factory(lmax: int = 128, unit_batch: int = 1024):
 
 
 def prepare_units(unit_reads, lmax: int):
-    """Host-side packing of encoded unit reads (list of uint8 nibble arrays)
-    into the fixed-shape stage-1 inputs."""
-    n_words = 2 * ((lmax + 15) // 16)
+    """Host-side layout of encoded unit reads (list of uint8 nibble arrays)
+    into the fixed-shape stage-1 inputs: two nibbles per uploaded byte
+    (half-size transfers); unpacking and word packing happen on device."""
     B = len(unit_reads)
     preads = np.zeros((B, lmax + 32), dtype=np.uint8)
-    packed = np.zeros((B, n_words), dtype=np.uint32)
-    wmask = np.zeros((B, n_words), dtype=np.int32)
     lens = np.zeros(B, dtype=np.int32)
     for i, pr in enumerate(unit_reads):
         n = pr.shape[0]
         lens[i] = n
         preads[i, :n] = pr
-        if n:
-            nw64 = (n + 15) // 16
-            padded = np.full(nw64 * 16, 0xF, dtype=np.uint32)
-            padded[:n] = pr
-            padded = padded.reshape(-1, 8)
-            shifts = (4 * np.arange(8, dtype=np.uint32)).reshape(1, 8)
-            words = np.bitwise_or.reduce(padded << shifts, axis=1)
-            packed[i, : 2 * nw64] = words
-            wmask[i, : 2 * nw64] = 1
-    return preads, packed, wmask, lens
+    pnib = preads[:, 0::2] | (preads[:, 1::2] << np.uint8(4))
+    return pnib, lens
 
 
 class EventReplayEngine(MappingEngine):

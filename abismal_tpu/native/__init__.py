@@ -110,6 +110,7 @@ def get_lib() -> ctypes.CDLL:
             ctypes.c_int64, ctypes.c_int64,  # min/max frag
             ctypes.c_char,  # strand code
             ctypes.c_int, ctypes.c_int,  # pbat, random_pbat
+            ctypes.c_int,  # require_valid
             ctypes.c_double, ctypes.c_double, ctypes.c_double,
             ctypes.c_double,  # mutation, sub, ins, del
             ctypes.c_double,  # bs_conv
@@ -164,6 +165,20 @@ def get_engine_lib() -> ctypes.CDLL:
         )
         lib.engine_out_ptr.restype = ctypes.c_void_p
         lib.engine_out_ptr.argtypes = [ctypes.c_void_p]
+
+        lib.engine_se_phase1.restype = ctypes.c_int64
+        lib.engine_se_phase1.argtypes = (
+            [ctypes.c_void_p]
+            + [ctypes.c_void_p] * 4
+            + [ctypes.c_int64, ctypes.c_int, ctypes.c_int]
+            + _ev + [ctypes.c_int]
+        )
+        lib.engine_jobs_ptr.restype = ctypes.c_void_p
+        lib.engine_jobs_ptr.argtypes = [ctypes.c_void_p]
+        lib.engine_se_phase2.restype = ctypes.c_int64
+        lib.engine_se_phase2.argtypes = [
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int, ctypes.c_void_p,
+        ]
 
         _LIBS["_engine"] = lib
         return lib

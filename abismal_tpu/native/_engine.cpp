@@ -18,6 +18,7 @@
 
 #include <algorithm>
 #include <atomic>
+#include <climits>
 #include <cstdint>
 #include <cstdio>
 #include <cstring>
@@ -520,6 +521,7 @@ struct Engine {
   int64_t pe_min, pe_max;
   std::string out;
   std::vector<struct Worker *> workers;
+  struct SEPhase *se_phase = nullptr;
 };
 
 struct Worker {
@@ -950,10 +952,12 @@ inline const uint8_t *pick_pread(const Elem &e, const uint8_t *pt,
   return (e.f & F_A_RICH) ? pa : pt;
 }
 
-void align_se_candidates(const uint8_t *pt, const uint8_t *pt_rc,
-                         const uint8_t *pa, const uint8_t *pa_rc, int readlen,
-                         double cutoff, SECand &res, Worker &w, Elem &best_out,
-                         Cigar &cig) {
+template <class ScoreFn>
+void align_se_candidates_impl(const uint8_t *pt, const uint8_t *pt_rc,
+                              const uint8_t *pa, const uint8_t *pa_rc,
+                              int readlen, double cutoff, SECand &res,
+                              Worker &w, Elem &best_out, Cigar &cig,
+                              ScoreFn score_of) {
   const int32_t max_diffs = diffs_cutoff(readlen, cutoff);
   const int32_t max_scr = ALN_MATCH * readlen;
   if (res.has_exact()) {
@@ -972,8 +976,7 @@ void align_se_candidates(const uint8_t *pt, const uint8_t *pt_rc,
     const Elem &e = w.prep[i];
     if (valid_hit(e.d, readlen)) {
       const uint8_t *q = pick_pread(e, pt, pt_rc, pa, pa_rc);
-      const int32_t cand_scr =
-        w.aln.align(e.d, max_diffs, q, readlen, e.p, false);
+      const int32_t cand_scr = score_of(e, q, max_diffs);
       if (cand_scr > best_scr) {
         best = e;
         best_scr = cand_scr;
@@ -1005,6 +1008,17 @@ void align_se_candidates(const uint8_t *pt, const uint8_t *pt_rc,
   best_out = best;
 }
 
+void align_se_candidates(const uint8_t *pt, const uint8_t *pt_rc,
+                         const uint8_t *pa, const uint8_t *pa_rc, int readlen,
+                         double cutoff, SECand &res, Worker &w, Elem &best_out,
+                         Cigar &cig) {
+  align_se_candidates_impl(
+    pt, pt_rc, pa, pa_rc, readlen, cutoff, res, w, best_out, cig,
+    [&](const Elem &e, const uint8_t *q, int32_t max_diffs) {
+      return w.aln.align(e.d, max_diffs, q, readlen, e.p, false);
+    });
+}
+
 // ---------------------------------------------------------------------------
 // per-read SE mapping (engine.py map_se_reads body)
 // ---------------------------------------------------------------------------
@@ -1023,6 +1037,45 @@ struct SEStatsAcc {
   }
 };
 
+// seed one SE read (2 or 4 units) into w.se; returns the four query
+// encodings (pt, pt_rc, pa, pa_rc) in w.buf via `enc`
+void se_seed_read(const Engine &E, Worker &w, const Events &ev, int64_t ri,
+                  const uint8_t *read, int len, bool a_rich_mode,
+                  bool random_pbat, const uint8_t *enc[4]) {
+  if (!random_pbat) {
+    const bool conv = a_rich_mode;
+    encode_read(read, len, conv, w.buf[0]);
+    seeds(E, w, ev, 2 * ri, w.buf[0].data(), len, strand_code(false, conv),
+          w.se);
+    revcomp_ascii(read, len, w.rcbuf[0]);
+    encode_read(w.rcbuf[0].data(), len, !conv, w.buf[1]);
+    seeds(E, w, ev, 2 * ri + 1, w.buf[1].data(), len,
+          strand_code(true, conv), w.se);
+    enc[0] = enc[2] = w.buf[0].data();
+    enc[1] = enc[3] = w.buf[1].data();
+  }
+  else {
+    // 4-way RPBAT orchestration (abismal.cpp:1602-1704)
+    encode_read(read, len, false, w.buf[0]);
+    seeds(E, w, ev, 4 * ri, w.buf[0].data(), len, strand_code(false, false),
+          w.se);
+    encode_read(read, len, true, w.buf[2]);
+    seeds(E, w, ev, 4 * ri + 1, w.buf[2].data(), len,
+          strand_code(false, true), w.se);
+    revcomp_ascii(read, len, w.rcbuf[0]);
+    encode_read(w.rcbuf[0].data(), len, false, w.buf[1]);
+    seeds(E, w, ev, 4 * ri + 2, w.buf[1].data(), len,
+          strand_code(true, true), w.se);
+    encode_read(w.rcbuf[0].data(), len, true, w.buf[3]);
+    seeds(E, w, ev, 4 * ri + 3, w.buf[3].data(), len,
+          strand_code(true, false), w.se);
+    enc[0] = w.buf[0].data();
+    enc[1] = w.buf[1].data();
+    enc[2] = w.buf[2].data();
+    enc[3] = w.buf[3].data();
+  }
+}
+
 void map_one_se(const Engine &E, Worker &w, const Events &ev, int64_t ri,
                 const uint8_t *name, int64_t name_len, const uint8_t *read,
                 int len, bool a_rich_mode, bool random_pbat) {
@@ -1031,38 +1084,10 @@ void map_one_se(const Engine &E, Worker &w, const Events &ev, int64_t ri,
   Cigar cig;
   cig.clear();
   if (len) {
-    if (!random_pbat) {
-      const bool conv = a_rich_mode;
-      encode_read(read, len, conv, w.buf[0]);
-      seeds(E, w, ev, 2 * ri, w.buf[0].data(), len,
-            strand_code(false, conv), w.se);
-      revcomp_ascii(read, len, w.rcbuf[0]);
-      encode_read(w.rcbuf[0].data(), len, !conv, w.buf[1]);
-      seeds(E, w, ev, 2 * ri + 1, w.buf[1].data(), len,
-            strand_code(true, conv), w.se);
-      align_se_candidates(w.buf[0].data(), w.buf[1].data(), w.buf[0].data(),
-                          w.buf[1].data(), len, E.valid_frac, w.se, w, best,
-                          cig);
-    }
-    else {
-      // 4-way RPBAT orchestration (abismal.cpp:1602-1704)
-      encode_read(read, len, false, w.buf[0]);
-      seeds(E, w, ev, 4 * ri, w.buf[0].data(), len,
-            strand_code(false, false), w.se);
-      encode_read(read, len, true, w.buf[2]);
-      seeds(E, w, ev, 4 * ri + 1, w.buf[2].data(), len,
-            strand_code(false, true), w.se);
-      revcomp_ascii(read, len, w.rcbuf[0]);
-      encode_read(w.rcbuf[0].data(), len, false, w.buf[1]);
-      seeds(E, w, ev, 4 * ri + 2, w.buf[1].data(), len,
-            strand_code(true, true), w.se);
-      encode_read(w.rcbuf[0].data(), len, true, w.buf[3]);
-      seeds(E, w, ev, 4 * ri + 3, w.buf[3].data(), len,
-            strand_code(true, false), w.se);
-      align_se_candidates(w.buf[0].data(), w.buf[1].data(), w.buf[2].data(),
-                          w.buf[3].data(), len, E.valid_frac, w.se, w, best,
-                          cig);
-    }
+    const uint8_t *enc[4];
+    se_seed_read(E, w, ev, ri, read, len, a_rich_mode, random_pbat, enc);
+    align_se_candidates(enc[0], enc[1], enc[2], enc[3], len, E.valid_frac,
+                        w.se, w, best, cig);
     const int map_type =
       format_se(E, best, cig, name, name_len, read, len, w.out);
     if (map_type == MAP_UNMAPPED) {
@@ -1561,10 +1586,15 @@ void *engine_create(const uint8_t *genome_nib, const uint64_t *genome_words,
   return E;
 }
 
+namespace {
+void se_phase_delete(SEPhase *p);
+}  // namespace
+
 void engine_destroy(void *eng) {
   Engine *E = (Engine *)eng;
   for (auto *w : E->workers)
     delete w;
+  se_phase_delete(E->se_phase);
   delete E;
 }
 
@@ -1640,6 +1670,195 @@ int64_t engine_map_pe_batch(void *eng, const uint8_t *reads1_blob,
   sum_stats(E, stats_out, 18);
   return (int64_t)E.out.size();
 }
+
+
+// ---------------------------------------------------------------------------
+// two-phase SE mapping for device-side batched alignment: phase 1 seeds and
+// emits alignment jobs (read, encoding, pos, band width, qsz); the caller
+// scores them (Pallas banded kernel on the accelerator, or any provider);
+// phase 2 replays the exact selection/traceback/format logic with the
+// provided scores.  A score of INT32_MIN makes phase 2 compute that job
+// natively (used for reads whose queries are not resident on the device).
+// ---------------------------------------------------------------------------
+namespace {
+
+struct SEState {
+  Elem cand[SE_MAX];
+  int n_cand = 0;  // -1: no alignment phase (empty read or exact match)
+  Elem best{MAX_DIFFS, 0, 0};
+  int len = 0;
+  std::vector<uint8_t> enc[4];  // pt, pt_rc, pa, pa_rc copies
+  std::vector<int32_t> jobs;    // 5 ints per job
+  int64_t job_start = 0;
+};
+
+struct SEPhase {
+  std::vector<SEState> states;
+  std::vector<int32_t> jobs;  // flattened, 5 ints per job
+  const uint8_t *reads_blob;
+  const int64_t *read_offs;
+  const uint8_t *names_blob;
+  const int64_t *name_offs;
+  int64_t n_reads = 0;
+  bool a_rich = false, rpbat = false;
+};
+
+void se_phase_delete(SEPhase *p) { delete p; }
+
+SEPhase &phase_of(Engine &E) {
+  if (!E.se_phase)
+    E.se_phase = new SEPhase();
+  return *E.se_phase;
+}
+
+inline int enc_sel(const Elem &e) {
+  // index into (pt, pt_rc, pa, pa_rc), mirroring pick_pread
+  if (e.f & F_RC)
+    return (e.f & F_A_RICH) ? 1 : 3;
+  return (e.f & F_A_RICH) ? 2 : 0;
+}
+
+}  // namespace
+
+extern "C" {
+
+int64_t
+engine_se_phase1(void *eng, const uint8_t *reads_blob,
+                 const int64_t *read_offs, const uint8_t *names_blob,
+                 const int64_t *name_offs, int64_t n_reads, int a_rich_mode,
+                 int random_pbat, const uint32_t *ev_pos,
+                 const int32_t *ev_diffs, const int32_t *ev_rank,
+                 const int64_t *ev_start, const int64_t *ev_count,
+                 int64_t ev_boundary, int n_threads) {
+  Engine &E = *(Engine *)eng;
+  Events ev{ev_pos, ev_diffs, ev_rank, ev_start, ev_count, ev_boundary};
+  SEPhase &P = phase_of(E);
+  P.states.assign(n_reads, SEState());
+  P.reads_blob = reads_blob;
+  P.read_offs = read_offs;
+  P.names_blob = names_blob;
+  P.name_offs = name_offs;
+  P.n_reads = n_reads;
+  P.a_rich = a_rich_mode != 0;
+  P.rpbat = random_pbat != 0;
+
+  run_threads(E, n_reads, n_threads, [&](Worker &w, int64_t lo, int64_t hi) {
+    for (int64_t ri = lo; ri < hi; ++ri) {
+      SEState &st = P.states[ri];
+      const uint8_t *read = reads_blob + read_offs[ri];
+      const int len = (int)(read_offs[ri + 1] - read_offs[ri]);
+      st.len = len;
+      st.n_cand = -1;
+      if (!len)
+        continue;
+      w.se.reset(len);
+      const uint8_t *enc[4];
+      se_seed_read(E, w, ev, ri, read, len, P.a_rich, P.rpbat, enc);
+      st.best = w.se.best;
+      // keep the encodings for phase-2 traceback / host-side scoring
+      st.enc[0].assign(enc[0], enc[0] + len);
+      st.enc[1].assign(enc[1], enc[1] + len);
+      if (P.rpbat) {
+        st.enc[2].assign(enc[2], enc[2] + len);
+        st.enc[3].assign(enc[3], enc[3] + len);
+      }
+      if (w.se.has_exact())
+        continue;
+      st.n_cand = w.se.prepare_for_alignments(st.cand);
+      const int32_t max_diffs = diffs_cutoff(len, E.valid_frac);
+      int i = 0;
+      while (i < st.n_cand && elem_empty(st.cand[i]))
+        ++i;
+      for (; i < st.n_cand; ++i) {
+        const Elem &e = st.cand[i];
+        if (valid_hit(e.d, len)) {
+          st.jobs.push_back((int32_t)ri);
+          st.jobs.push_back(enc_sel(e));
+          st.jobs.push_back((int32_t)e.p);
+          st.jobs.push_back(band_width(e.d, max_diffs));
+          st.jobs.push_back(len);
+        }
+      }
+    }
+  });
+  E.out.clear();  // run_threads collected per-worker text; none is produced
+
+  P.jobs.clear();
+  int64_t n_jobs = 0;
+  for (auto &st : P.states) {
+    st.job_start = n_jobs;
+    n_jobs += (int64_t)st.jobs.size() / 5;
+    P.jobs.insert(P.jobs.end(), st.jobs.begin(), st.jobs.end());
+  }
+  return n_jobs;
+}
+
+const int32_t *
+engine_jobs_ptr(void *eng) {
+  return phase_of(*(Engine *)eng).jobs.data();
+}
+
+int64_t
+engine_se_phase2(void *eng, const int32_t *scores, int n_threads,
+                 int64_t *stats_out) {
+  Engine &E = *(Engine *)eng;
+  SEPhase &P = phase_of(E);
+  int max_len = 1;
+  for (int64_t i = 0; i < P.n_reads; ++i)
+    max_len = std::max(max_len, P.states[i].len);
+
+  run_threads(E, P.n_reads, n_threads,
+              [&](Worker &w, int64_t lo, int64_t hi) {
+    w.aln.reset(max_len);
+    for (int64_t ri = lo; ri < hi; ++ri) {
+      SEState &st = P.states[ri];
+      const uint8_t *read = P.reads_blob + P.read_offs[ri];
+      const uint8_t *name = P.names_blob + P.name_offs[ri];
+      const int64_t name_len = P.name_offs[ri + 1] - P.name_offs[ri];
+      Elem best{MAX_DIFFS, 0, 0};
+      Cigar cig;
+      cig.clear();
+      if (st.len) {
+        // rebuild the candidate set snapshot; prepare_for_alignments is
+        // idempotent on the already sorted+deduped list
+        w.se.reset(st.len);
+        w.se.best = st.best;
+        if (st.n_cand >= 0) {
+          for (int i = 0; i < st.n_cand; ++i)
+            w.se.v[i] = st.cand[i];
+          w.se.sz = std::max(st.n_cand, 1);
+        }
+        const uint8_t *pt = st.enc[0].data();
+        const uint8_t *pt_rc = st.enc[1].data();
+        const uint8_t *pa = P.rpbat ? st.enc[2].data() : pt;
+        const uint8_t *pa_rc = P.rpbat ? st.enc[3].data() : pt_rc;
+        int64_t jp = st.job_start;
+        align_se_candidates_impl(
+          pt, pt_rc, pa, pa_rc, st.len, E.valid_frac, w.se, w, best, cig,
+          [&](const Elem &e, const uint8_t *q, int32_t max_diffs) {
+            const int32_t s = scores[jp++];
+            if (s != INT32_MIN)
+              return s;
+            return (int32_t)w.aln.align(e.d, max_diffs, q, st.len, e.p,
+                                        false);
+          });
+        const int map_type =
+          format_se(E, best, cig, name, name_len, read, st.len, w.out);
+        if (map_type == MAP_UNMAPPED) {
+          best.d = MAX_DIFFS;
+          best.p = 0;
+        }
+      }
+      SEStatsAcc acc{w.st};
+      acc.update(st.len == 0, !elem_empty(best), elem_ambig(best), best.d,
+                 cig, E.allow_ambig);
+    }
+  });
+  sum_stats(E, stats_out, 6);
+  return (int64_t)E.out.size();
+}
+
+}  // extern "C"
 
 const char *engine_out_ptr(void *eng) { return ((Engine *)eng)->out.data(); }
 

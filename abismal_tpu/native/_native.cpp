@@ -14,6 +14,7 @@
 // Built as a plain shared library; accessed from Python via ctypes.
 
 #include <algorithm>
+#include <cctype>
 #include <cmath>
 #include <cstdint>
 #include <cstdio>
@@ -528,11 +529,11 @@ simreads_native(const uint8_t *genome, int64_t genome_size,
                 const char *chrom_names_joined, int64_t n_reads,
                 int64_t read_length, int64_t min_frag, int64_t max_frag,
                 char strand_code, int pbat, int random_pbat,
-                double mutation_rate, double sub_rate, double ins_rate,
-                double del_rate, double bs_conv, uint64_t seed,
-                int single_end, int fasta_format, int show_cigar_matches,
-                const char *read1_path, const char *read2_path,
-                const char *loc_path) {
+                int require_valid, double mutation_rate, double sub_rate,
+                double ins_rate, double del_rate, double bs_conv,
+                uint64_t seed, int single_end, int fasta_format,
+                int show_cigar_matches, const char *read1_path,
+                const char *read2_path, const char *loc_path) {
   // normalize change-type rates (simreads.cpp:351-362)
   {
     const double total = std::max(sub_rate + ins_rate + del_rate,
@@ -593,6 +594,19 @@ simreads_native(const uint8_t *genome, int64_t genome_size,
     const uint64_t lim = static_cast<uint64_t>(genome_size - frag_len + 1);
     uint64_t posn = rng.rand_int() % lim;
     std::string seq(gc + posn, gc + posn + frag_len);
+    // --require-valid resampling loop: the reference re-draws while the
+    // fragment consists entirely of valid (ACGT) bases -- the condition
+    // reads inverted upstream, and the RNG consumption is observable, so
+    // it is reproduced verbatim (simreads.cpp:276-291)
+    while (require_valid
+           && std::all_of(seq.begin(), seq.end(), [](char c) {
+                c = static_cast<char>(std::toupper(
+                  static_cast<unsigned char>(c)));
+                return c == 'A' || c == 'C' || c == 'G' || c == 'T';
+              })) {
+      posn = rng.rand_int() % lim;
+      seq.assign(gc + posn, gc + posn + frag_len);
+    }
 
     // chrom lookup: upper_bound(starts, pos) - 1
     int64_t ci = 0;

@@ -35,19 +35,19 @@ def shard_stage1(stage1, mesh):
     rep = P()
     sh = P("data")
 
-    def wrapped(tables, preads, packed, wmask, lens, is_ga, thr):
-        def inner(tables, preads, packed, wmask, lens, is_ga, thr):
-            ev, cf = stage1(*tables, preads, packed, wmask, lens, is_ga, thr)
+    def wrapped(tables, preads, lens, is_ga, thr):
+        def inner(tables, preads, lens, is_ga, thr):
+            ev, cf = stage1(*tables, preads, lens, is_ga, thr)
             count = cf & 0x3FFFFFFF
             total_events = jax.lax.psum(count.sum(), "data")
             return ev, cf, total_events
 
         return shard_map(
             inner, mesh=mesh,
-            in_specs=(rep, sh, sh, sh, sh, sh, sh),
+            in_specs=(rep, sh, sh, sh, sh),
             out_specs=(P("data", None), sh, rep),
             check_rep=False,
-        )(tables, preads, packed, wmask, lens, is_ga, thr)
+        )(tables, preads, lens, is_ga, thr)
 
     return jax.jit(wrapped)
 

@@ -36,6 +36,7 @@ class SimConfig:
     single_end: bool = False
     fasta_format: bool = False
     show_cigar_matches: bool = True
+    require_valid: bool = False
     locations_file: str = ""
     seed: int = 1
 
@@ -64,6 +65,7 @@ def simulate_reads(genome_file: str, cfg: SimConfig) -> None:
         cfg.min_frag_len, cfg.max_frag_len,
         cfg.strand.encode()[:1],
         int(cfg.pbat), int(cfg.random_pbat),
+        int(cfg.require_valid),
         cfg.mutation_rate, cfg.substitution_rate, cfg.insertion_rate,
         cfg.deletion_rate,
         cfg.bs_conv,

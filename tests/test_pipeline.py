@@ -100,10 +100,10 @@ def test_stage1_events_match_oracle(trex1_index):
 
     sc = strand_code("+", False)
     units = [prep_read(r, False) for r in reads]
-    preads, packed, wmask, lens = prepare_units(units, 128)
+    pnib, lens = prepare_units(units, 128)
     is_ga = np.array([get_conv_is_ga(sc)] * len(units))
     thr = ((2 * lens.astype(np.int64)) // 5).astype(np.int32)
-    ev, cf = stage1(*dev.tables(), preads, packed, wmask, lens, is_ga, thr)
+    ev, cf = stage1(*dev.tables(), pnib, lens, is_ga, thr)
     ev = np.asarray(ev)
     cf = np.asarray(cf)
     gpos, gmeta = ev[0], ev[1]

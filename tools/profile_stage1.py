@@ -44,10 +44,10 @@ def main():
     stage1, o_spec = build_stage1(128, dev.max_candidates, dev.n_index2,
                                   dev.n_index3)
     units = [prep_read(r, False) for r in reads[: a.units]]
-    preads, packed, wmask, lens, = prepare_units(units, 128)
+    preads, lens = prepare_units(units, 128)
     is_ga = np.zeros(len(units), dtype=bool)
     thr = ((2 * lens.astype(np.int64)) // 5).astype(np.int32)
-    args = (preads, packed, wmask, lens, is_ga, thr)
+    args = (preads, lens, is_ga, thr)
 
     import jax
 
