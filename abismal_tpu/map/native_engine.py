@@ -216,6 +216,11 @@ def run_map_pipelined(engine, index, reads_file1, reads_file2, out_path,
 
     paired = reads_file2 is not None
     depth = max(1, getattr(engine, "pipeline_depth", 1))
+    # engines that talk to an accelerator prefer one device call per read
+    # batch: the tunnel's per-call latency dominates, so batch size is
+    # derived from the engine's unit_batch (reads x units-per-read)
+    prb = getattr(engine, "preferred_read_batch", None)
+    batch_size = prb(paired, random_pbat) if prb else 1000
     start_time = _time.monotonic()
     n_processed = 0
     with open_sam_output(out_path, bam) as out:
@@ -223,7 +228,7 @@ def run_map_pipelined(engine, index, reads_file1, reads_file2, out_path,
         if not paired:
             stats = SEStats()
             a_rich_mode = a_rich or pbat
-            rl = ReadLoader(reads_file1)
+            rl = ReadLoader(reads_file1, batch_size)
             q = deque()
             while rl:
                 batch = rl.load_batch()
@@ -239,8 +244,8 @@ def run_map_pipelined(engine, index, reads_file1, reads_file2, out_path,
                 n_processed += engine.finish_se(q.popleft(), stats, out)
         else:
             stats = PEStats()
-            rl1 = ReadLoader(reads_file1)
-            rl2 = ReadLoader(reads_file2)
+            rl1 = ReadLoader(reads_file1, batch_size)
+            rl2 = ReadLoader(reads_file2, batch_size)
             q = deque()
             while rl1 and rl2:
                 b1 = rl1.load_batch()

@@ -776,6 +776,14 @@ class TpuNativeEngine:
             self._tables, preads, lens, is_ga, thr)
         return ev, cf
 
+    def preferred_read_batch(self, paired, random_pbat):
+        """Reads per batch such that one batch fills one stage-1 device
+        call (unit_batch units): the tunnel's per-call latency dominates,
+        so bigger batches amortize it."""
+        per = (8 if random_pbat else 4) if paired else \
+              (4 if random_pbat else 2)
+        return max(250, self.unit_batch // per)
+
     @property
     def n_threads(self):
         return self.native.n_threads
