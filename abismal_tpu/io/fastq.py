@@ -68,5 +68,15 @@ class ReadLoader:
             out.append((name, clean_read(seq)))
         return out
 
+    @property
+    def current_byte(self) -> int:
+        """On-disk byte position (compressed for .gz inputs), mirroring
+        ReadLoader::get_current_byte (abismal.cpp:160-162)."""
+        raw = getattr(self._fh, "raw_file", self._fh)
+        try:
+            return raw.tell()
+        except OSError:
+            return 0
+
     def close(self):
         self._fh.close()

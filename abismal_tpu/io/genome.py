@@ -23,7 +23,9 @@ def open_maybe_gzip(path: str):
     magic = f.read(2)
     f.seek(0)
     if magic == b"\x1f\x8b":
-        return gzip.open(f, "rb")
+        g = gzip.open(f, "rb")
+        g.raw_file = f  # compressed-byte position for progress reporting
+        return g
     return f
 
 

@@ -733,6 +733,11 @@ def run_map(index, reads_file1: str, reads_file2: str | None, out_path: str,
 
     start_time = _time.monotonic()
     n_processed = 0
+    bar = None
+    if verbose:
+        from ..utils.progress import file_progress
+
+        bar = file_progress(reads_file1)
     with open_sam_output(out_path, bam) as out:
         out.write(make_sam_header(index.cl, command_line))
         if not paired:
@@ -745,7 +750,11 @@ def run_map(index, reads_file1: str, reads_file2: str | None, out_path: str,
                     engine.map_se_reads(batch, a_rich_mode, random_pbat,
                                         stats, out)
                     n_processed += len(batch)
-                    if verbose:
+                    if bar is not None:
+                        b = rl.current_byte
+                        if bar.time_to_report(b):
+                            bar.report(sys.stderr, b)
+                    elif verbose:
                         print(f"[mapped {n_processed} reads]",
                               file=sys.stderr)
         else:
@@ -758,10 +767,16 @@ def run_map(index, reads_file1: str, reads_file2: str | None, out_path: str,
                 if b1 or b2:
                     engine.map_pe_reads(b1, b2, pbat, random_pbat, stats, out)
                     n_processed += len(b1)
-                    if verbose:
+                    if bar is not None:
+                        b = rl1.current_byte
+                        if bar.time_to_report(b):
+                            bar.report(sys.stderr, b)
+                    elif verbose:
                         print(f"[mapped {n_processed} read pairs]",
                               file=sys.stderr)
 
+    if bar is not None and bar.prev < 100:
+        bar.report(sys.stderr, bar.total)
     if verbose:
         print(f"[total mapping time: "
               f"{_time.monotonic() - start_time:.2f}s]", file=sys.stderr)

@@ -223,6 +223,11 @@ def run_map_pipelined(engine, index, reads_file1, reads_file2, out_path,
     batch_size = prb(paired, random_pbat) if prb else 1000
     start_time = _time.monotonic()
     n_processed = 0
+    bar = None
+    if verbose:
+        from ..utils.progress import file_progress
+
+        bar = file_progress(reads_file1)
     with open_sam_output(out_path, bam) as out:
         out.write(make_sam_header(index.cl, command_line))
         if not paired:
@@ -237,7 +242,11 @@ def run_map_pipelined(engine, index, reads_file1, reads_file2, out_path,
                                                 random_pbat))
                 while len(q) > (depth if rl else 0):
                     n_processed += engine.finish_se(q.popleft(), stats, out)
-                    if verbose:
+                    if bar is not None:
+                        b = rl.current_byte
+                        if bar.time_to_report(b):
+                            bar.report(sys.stderr, b)
+                    elif verbose:
                         print(f"[mapped {n_processed} reads]",
                               file=sys.stderr)
             while q:
@@ -255,12 +264,18 @@ def run_map_pipelined(engine, index, reads_file1, reads_file2, out_path,
                     q.append(engine.dispatch_pe(b1, b2, pbat, random_pbat))
                 while len(q) > (depth if (rl1 and rl2) else 0):
                     n_processed += engine.finish_pe(q.popleft(), stats, out)
-                    if verbose:
+                    if bar is not None:
+                        b = rl1.current_byte
+                        if bar.time_to_report(b):
+                            bar.report(sys.stderr, b)
+                    elif verbose:
                         print(f"[mapped {n_processed} read pairs]",
                               file=sys.stderr)
             while q:
                 n_processed += engine.finish_pe(q.popleft(), stats, out)
 
+    if bar is not None and bar.prev < 100:
+        bar.report(sys.stderr, bar.total)
     if verbose:
         fb = getattr(engine, "n_fallback", None)
         if fb is not None:
