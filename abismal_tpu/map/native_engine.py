@@ -281,6 +281,12 @@ def run_map_pipelined(engine, index, reads_file1, reads_file2, out_path,
         if fb is not None:
             print(f"[device stage-1 fallback units: {fb}/"
                   f"{getattr(engine, 'n_units', 0)}]", file=sys.stderr)
+        st = getattr(engine, "stage_time", None)
+        if st:
+            total = _time.monotonic() - start_time
+            for k, v in st.items():
+                print(f"[stage {k}: {v:.2f}s ({100 * v / total:.0f}%)]",
+                      file=sys.stderr)
         print(f"[total mapping time: "
               f"{_time.monotonic() - start_time:.2f}s]", file=sys.stderr)
     return stats

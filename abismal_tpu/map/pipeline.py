@@ -58,6 +58,7 @@ _jnp = None
 
 
 import os
+import time
 
 
 def _jm():
@@ -737,6 +738,10 @@ class TpuNativeEngine:
             self.dev.n_index3)
         self.n_fallback = 0
         self.n_units = 0
+        # per-stage wall-time accumulators (SURVEY §5: stage timers);
+        # printed by run_map_pipelined under -v
+        self.stage_time = {"unit prep": 0.0, "device dispatch": 0.0,
+                           "device collect": 0.0, "native stage-2": 0.0}
         # device-side batched alignment scoring (SE): the Pallas banded
         # kernel scores all candidate hits between seed replay and the
         # native decide stage.  Off by default on tunnel-attached chips
@@ -916,21 +921,31 @@ class TpuNativeEngine:
 
     # --- pipeline interface -------------------------------------------------
     def dispatch_se(self, reads, a_rich_mode, random_pbat):
+        t0 = time.perf_counter()
         units, n_units = self._se_units_flat(reads, a_rich_mode, random_pbat)
-        return (reads, a_rich_mode, random_pbat, n_units,
-                self._dispatch_units(units))
+        t1 = time.perf_counter()
+        disp = self._dispatch_units(units)
+        t2 = time.perf_counter()
+        self.stage_time["unit prep"] += t1 - t0
+        self.stage_time["device dispatch"] += t2 - t1
+        return (reads, a_rich_mode, random_pbat, n_units, disp)
 
     def finish_se(self, handle, stats, out):
         reads, arm, rp, n_units, disp = handle
+        t0 = time.perf_counter()
         events = self._collect_flat(disp, n_units)
+        t1 = time.perf_counter()
+        self.stage_time["device collect"] += t1 - t0
         if not self.device_align:
             self.native._call_se(reads, arm, rp, stats, out, events)
+            self.stage_time["native stage-2"] += time.perf_counter() - t1
             return len(reads)
         n_jobs, jobs = self.native._phase1_se(reads, arm, rp, events)
         scores = np.full(n_jobs, np.iinfo(np.int32).min, dtype=np.int32)
         if n_jobs:
             self._score_jobs_on_device(jobs, scores, rp, disp[1])
         self.native._phase2_se(scores, stats, out)
+        self.stage_time["native stage-2"] += time.perf_counter() - t1
         return len(reads)
 
     def _score_jobs_on_device(self, jobs, scores, random_pbat, pending):
@@ -978,15 +993,24 @@ class TpuNativeEngine:
             self.n_device_aligned += int(n)
 
     def dispatch_pe(self, reads1, reads2, a_rich_mode, random_pbat):
+        t0 = time.perf_counter()
         units, n_units = self._pe_units_flat(reads1, reads2, a_rich_mode,
                                              random_pbat)
-        return (reads1, reads2, a_rich_mode, random_pbat, n_units,
-                self._dispatch_units(units))
+        t1 = time.perf_counter()
+        disp = self._dispatch_units(units)
+        t2 = time.perf_counter()
+        self.stage_time["unit prep"] += t1 - t0
+        self.stage_time["device dispatch"] += t2 - t1
+        return (reads1, reads2, a_rich_mode, random_pbat, n_units, disp)
 
     def finish_pe(self, handle, stats, out):
         reads1, reads2, arm, rp, n_units, disp = handle
+        t0 = time.perf_counter()
         events = self._collect_flat(disp, n_units)
+        t1 = time.perf_counter()
+        self.stage_time["device collect"] += t1 - t0
         self.native._call_pe(reads1, reads2, arm, rp, stats, out, events)
+        self.stage_time["native stage-2"] += time.perf_counter() - t1
         return len(reads1)
 
     # --- MappingEngine-compatible entry points ------------------------------
