@@ -127,8 +127,9 @@ def main():
               flush=True)
 
     if a.map:
-        from abismal_tpu.map.engine import run_map
-        from abismal_tpu.map.pipeline import make_native_engine_factory
+        from abismal_tpu.map.native_engine import (
+            NativeMappingEngine, run_map_pipelined,
+        )
         from abismal_tpu.sim.simreads import SimConfig, simulate_reads
 
         pre = os.path.join(a.dir, "r")
@@ -136,13 +137,19 @@ def main():
             output_prefix=pre, n_reads=a.map, mutation_rate=0.01,
             bs_conv=0.98, seed=1, single_end=True))
         sam = os.path.join(a.dir, "out.sam")
+        eng = NativeMappingEngine(idx, n_threads=a.threads)
         t0 = time.monotonic()
-        run_map(idx, pre + "_1.fq", None, sam, None, "scale bench",
-                engine_factory=make_native_engine_factory(
-                    n_threads=a.threads))
+        run_map_pipelined(eng, idx, pre + "_1.fq", None, sam, "scale bench")
         dt = time.monotonic() - t0
-        print(f"[mapped {a.map} reads in {dt:.1f}s = {a.map / dt:.0f} "
-              f"reads/s, native engine]", flush=True)
+        print(f"[cold map: {a.map} reads in {dt:.1f}s = {a.map / dt:.0f} "
+              f"reads/s, native engine, {a.threads} threads]", flush=True)
+        t0 = time.monotonic()
+        run_map_pipelined(eng, idx, pre + "_1.fq", None, sam, "scale bench")
+        dt = time.monotonic() - t0
+        print(f"[steady-state map: {a.map / dt:.0f} reads/s]", flush=True)
+        n_fb = getattr(eng, "n_fallback", None)
+        if n_fb is not None:
+            print(f"[fallback units: {n_fb}]", flush=True)
 
 
 if __name__ == "__main__":
