@@ -174,6 +174,49 @@ class NativeMappingEngine:
             setattr(stats, f, getattr(stats, f) + int(st[i]))
         self._phase_refs = None
 
+    # ---- two-phase PE interface for device-side batched alignment ---------
+    def _phase1_pe(self, reads1, reads2, a_rich_mode, random_pbat, events):
+        """Seeds every fragment configuration of the batch and emits
+        alignment jobs (read, unit_offset, pos, bw, qsz); pins the input
+        blobs on self until _phase2_pe runs."""
+        if len(reads1) != len(reads2):
+            raise RuntimeError(
+                f"paired-end batch sizes differ. Batch 1: {len(reads1)}, "
+                f"Batch 2: {len(reads2)}. Are you sure your paired-end "
+                "inputs have the same number of reads?")
+        n1, s1 = zip(*reads1) if reads1 else ((), ())
+        n2, s2 = zip(*reads2) if reads2 else ((), ())
+        r1b, r1o = _blob(list(s1))
+        n1b, n1o = _blob([n.encode() for n in n1])
+        r2b, r2o = _blob(list(s2))
+        n2b, n2o = _blob([n.encode() for n in n2])
+        self._phase_refs = (r1b, r1o, n1b, n1o, r2b, r2o, n2b, n2o, events)
+        n_jobs = self.lib.engine_pe_phase1(
+            self._ctx, _ptr(r1b), _ptr(r1o), _ptr(n1b), _ptr(n1o),
+            _ptr(r2b), _ptr(r2o), _ptr(n2b), _ptr(n2o),
+            len(reads1), int(a_rich_mode), int(random_pbat),
+            *self._event_args(events), self.n_threads)
+        jobs = np.zeros((0, 5), dtype=np.int32)
+        if n_jobs:
+            ptr = self.lib.engine_pe_jobs_ptr(self._ctx)
+            jobs = np.ctypeslib.as_array(
+                ctypes.cast(ptr, ctypes.POINTER(ctypes.c_int32)),
+                shape=(int(n_jobs), 5)).copy()
+        return int(n_jobs), jobs
+
+    def _phase2_pe(self, scores, stats, out):
+        st = np.zeros(18, dtype=np.int64)
+        scores = np.ascontiguousarray(scores, dtype=np.int32)
+        n = self.lib.engine_pe_phase2(self._ctx, _ptr(scores),
+                                      self.n_threads, _ptr(st))
+        out.write(ctypes.string_at(self.lib.engine_out_ptr(self._ctx),
+                                   n).decode())
+        for blk, dst in enumerate((stats.read_pair_stats, stats.end1_stats,
+                                   stats.end2_stats)):
+            for i, f in enumerate(_SE_FIELDS):
+                setattr(dst, f, getattr(dst, f) + int(st[6 * blk + i]))
+        self._phase_refs = None
+
     # ---- pipelined interface (dispatch/finish; no-op split here) -----------
     def dispatch_se(self, reads, a_rich_mode, random_pbat):
         return (reads, a_rich_mode, random_pbat, None)

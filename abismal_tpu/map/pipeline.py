@@ -738,6 +738,10 @@ class TpuNativeEngine:
             self.dev.n_index3)
         self.n_fallback = 0
         self.n_units = 0
+        self._pool = None  # collector threads (created lazily)
+        import threading
+
+        self._counter_lock = threading.Lock()
         # per-stage wall-time accumulators (SURVEY §5: stage timers);
         # printed by run_map_pipelined under -v
         self.stage_time = {"unit prep": 0.0, "device dispatch": 0.0,
@@ -858,7 +862,9 @@ class TpuNativeEngine:
         """Pulls dispatched device results into the native engine's flat
         event-stream format: (pos u32, diffs i32, rank i32, start i64,
         count i64, boundary).  count < 0 routes the unit to native
-        re-seeding."""
+        re-seeding.  Returns (events, unit_loc); called from the collector
+        thread pool, so per-batch state is returned, not stored, and the
+        shared counters are guarded."""
         pre_cache, pending = dispatched
         start = np.zeros(n_units, dtype=np.int64)
         count = np.full(n_units, -1, dtype=np.int64)
@@ -895,19 +901,22 @@ class TpuNativeEngine:
                 diff_parts.append((gmeta[:t] >> 22).astype(np.int32) - 512)
                 rank_parts.append((gmeta[:t] & 0x3FFFFF).astype(np.int32))
             total = int(totals.sum())
+            n_fb = 0
             for i, u in enumerate(chunk):
-                self.n_units += 1
                 unit_chunk[u[0]] = ci
                 unit_row[u[0]] = i
                 if overflow[i]:
-                    self.n_fallback += 1
+                    n_fb += 1
                 else:
                     start[u[0]] = base + unit_start_flat[i]
                     count[u[0]] = cnt[i]
+            with self._counter_lock:
+                self.n_units += len(chunk)
+                self.n_fallback += n_fb
             base += total
-        self.n_units += len(pre_cache)
-        self.n_fallback += len(pre_cache)
-        self._unit_loc = (unit_chunk, unit_row)
+        with self._counter_lock:
+            self.n_units += len(pre_cache)
+            self.n_fallback += len(pre_cache)
         if pos_parts:
             ev_pos = np.ascontiguousarray(np.concatenate(pos_parts))
             ev_diffs = np.ascontiguousarray(np.concatenate(diff_parts))
@@ -917,7 +926,18 @@ class TpuNativeEngine:
             ev_diffs = np.zeros(1, dtype=np.int32)
             ev_rank = np.zeros(1, dtype=np.int32)
         boundary = self.o_spec * 2 * SLOT
-        return (ev_pos, ev_diffs, ev_rank, start, count, boundary)
+        return (ev_pos, ev_diffs, ev_rank, start, count, boundary), \
+            (unit_chunk, unit_row)
+
+    def _submit_collect(self, disp, n_units):
+        """Starts the device->host sync on the collector pool: concurrent
+        RPCs overlap on the tunnel link (measured ~3x), so batch k+1's
+        results stream in while batch k is in the native stage."""
+        if self._pool is None:
+            from concurrent.futures import ThreadPoolExecutor
+
+            self._pool = ThreadPoolExecutor(max_workers=self.pipeline_depth)
+        return self._pool.submit(self._collect_flat, disp, n_units)
 
     # --- pipeline interface -------------------------------------------------
     def dispatch_se(self, reads, a_rich_mode, random_pbat):
@@ -925,15 +945,16 @@ class TpuNativeEngine:
         units, n_units = self._se_units_flat(reads, a_rich_mode, random_pbat)
         t1 = time.perf_counter()
         disp = self._dispatch_units(units)
+        fut = self._submit_collect(disp, n_units)
         t2 = time.perf_counter()
         self.stage_time["unit prep"] += t1 - t0
         self.stage_time["device dispatch"] += t2 - t1
-        return (reads, a_rich_mode, random_pbat, n_units, disp)
+        return (reads, a_rich_mode, random_pbat, n_units, disp, fut)
 
     def finish_se(self, handle, stats, out):
-        reads, arm, rp, n_units, disp = handle
+        reads, arm, rp, n_units, disp, fut = handle
         t0 = time.perf_counter()
-        events = self._collect_flat(disp, n_units)
+        events, self._unit_loc = fut.result()
         t1 = time.perf_counter()
         self.stage_time["device collect"] += t1 - t0
         if not self.device_align:
@@ -943,16 +964,27 @@ class TpuNativeEngine:
         n_jobs, jobs = self.native._phase1_se(reads, arm, rp, events)
         scores = np.full(n_jobs, np.iinfo(np.int32).min, dtype=np.int32)
         if n_jobs:
-            self._score_jobs_on_device(jobs, scores, rp, disp[1])
+            # jobs[:, 1] is the encoding selector (pt, pt_rc, pa, pa_rc);
+            # map it to the unit-id offset of _se_units_flat
+            r, enc = jobs[:, 0], jobs[:, 1]
+            per = 4 if rp else 2
+            if rp:
+                uoff = np.array([0, 2, 1, 3], dtype=np.int32)[enc]
+            else:
+                uoff = ((enc == 1) | (enc == 3)).astype(np.int32)
+            self._score_jobs_on_device(jobs, scores, per * r + uoff,
+                                       disp[1])
         self.native._phase2_se(scores, stats, out)
         self.stage_time["native stage-2"] += time.perf_counter() - t1
         return len(reads)
 
-    def _score_jobs_on_device(self, jobs, scores, random_pbat, pending):
+    def _score_jobs_on_device(self, jobs, scores, uid, pending):
         """Scores alignment jobs with the Pallas banded kernel, reusing the
-        stage-1 unit matrices already resident on the device.  Jobs whose
-        queries are not resident (oversized reads) or beyond the per-chunk
-        job cap keep the sentinel and are scored natively in phase 2."""
+        stage-1 unit matrices already resident on the device.  uid maps each
+        job to its flat unit id (the device row holding the query).  Jobs
+        whose queries are not resident (oversized reads) or beyond the
+        per-chunk job cap keep the sentinel and are scored natively in
+        phase 2."""
         from ..kernels.banded_align import build_device_align
 
         if self._align_prog is None:
@@ -963,13 +995,6 @@ class TpuNativeEngine:
             self._align_prog = build_device_align(self.lmax,
                                                   interpret=interp)
         uc, ur = self._unit_loc
-        r, enc = jobs[:, 0], jobs[:, 1]
-        per = 4 if random_pbat else 2
-        if random_pbat:
-            uoff = np.array([0, 2, 1, 3], dtype=np.int32)[enc]
-        else:
-            uoff = ((enc == 1) | (enc == 3)).astype(np.int32)
-        uid = per * r + uoff
         cidx = uc[uid]
         row = ur[uid]
         jcap = self.align_jcap
@@ -998,18 +1023,32 @@ class TpuNativeEngine:
                                              random_pbat)
         t1 = time.perf_counter()
         disp = self._dispatch_units(units)
+        fut = self._submit_collect(disp, n_units)
         t2 = time.perf_counter()
         self.stage_time["unit prep"] += t1 - t0
         self.stage_time["device dispatch"] += t2 - t1
-        return (reads1, reads2, a_rich_mode, random_pbat, n_units, disp)
+        return (reads1, reads2, a_rich_mode, random_pbat, n_units, disp, fut)
 
     def finish_pe(self, handle, stats, out):
-        reads1, reads2, arm, rp, n_units, disp = handle
+        reads1, reads2, arm, rp, n_units, disp, fut = handle
         t0 = time.perf_counter()
-        events = self._collect_flat(disp, n_units)
+        events, self._unit_loc = fut.result()
         t1 = time.perf_counter()
         self.stage_time["device collect"] += t1 - t0
-        self.native._call_pe(reads1, reads2, arm, rp, stats, out, events)
+        if not self.device_align:
+            self.native._call_pe(reads1, reads2, arm, rp, stats, out, events)
+            self.stage_time["native stage-2"] += time.perf_counter() - t1
+            return len(reads1)
+        n_jobs, jobs = self.native._phase1_pe(reads1, reads2, arm, rp,
+                                              events)
+        scores = np.full(n_jobs, np.iinfo(np.int32).min, dtype=np.int32)
+        if n_jobs:
+            # jobs[:, 1] is the worker buffer slot, which equals the
+            # unit-id offset of _pe_units_flat by construction
+            per = 8 if rp else 4
+            uid = per * jobs[:, 0] + jobs[:, 1]
+            self._score_jobs_on_device(jobs, scores, uid, disp[1])
+        self.native._phase2_pe(scores, stats, out)
         self.stage_time["native stage-2"] += time.perf_counter() - t1
         return len(reads1)
 

@@ -180,5 +180,19 @@ def get_engine_lib() -> ctypes.CDLL:
             ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int, ctypes.c_void_p,
         ]
 
+        lib.engine_pe_phase1.restype = ctypes.c_int64
+        lib.engine_pe_phase1.argtypes = (
+            [ctypes.c_void_p]
+            + [ctypes.c_void_p] * 8
+            + [ctypes.c_int64, ctypes.c_int, ctypes.c_int]
+            + _ev + [ctypes.c_int]
+        )
+        lib.engine_pe_jobs_ptr.restype = ctypes.c_void_p
+        lib.engine_pe_jobs_ptr.argtypes = [ctypes.c_void_p]
+        lib.engine_pe_phase2.restype = ctypes.c_int64
+        lib.engine_pe_phase2.argtypes = [
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int, ctypes.c_void_p,
+        ]
+
         _LIBS["_engine"] = lib
         return lib

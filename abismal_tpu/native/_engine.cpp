@@ -522,6 +522,7 @@ struct Engine {
   std::string out;
   std::vector<struct Worker *> workers;
   struct SEPhase *se_phase = nullptr;
+  struct PEPhase *pe_phase = nullptr;
 };
 
 struct Worker {
@@ -1145,11 +1146,15 @@ struct PEBest {
   }
 };
 
-// concordance sweep with memoized end-1 scores (abismal.cpp:1722-1831)
-bool best_pair(const Engine &E, Worker &w, PECand &res1, PECand &res2,
-               const uint8_t *pread1, int len1, const uint8_t *pread2,
-               int len2, PEBest &best, bool swap_ends, Cigar &cig1_out,
-               Cigar &cig2_out) {
+// concordance sweep with memoized end-1 scores (abismal.cpp:1722-1831).
+// score1/score2(j, elem) provide the score-only alignment of candidate j of
+// each end; the native wrapper computes them in place, the two-phase device
+// path reads them from a pre-scored array (kernels/banded_align.py).
+template <class ScoreFn1, class ScoreFn2>
+bool best_pair_impl(const Engine &E, Worker &w, PECand &res1, PECand &res2,
+                    const uint8_t *pread1, int len1, const uint8_t *pread2,
+                    int len2, PEBest &best, bool swap_ends, Cigar &cig1_out,
+                    Cigar &cig2_out, ScoreFn1 score1, ScoreFn2 score2) {
   Elem *v1 = res1.v.data();
   Elem *v2 = res2.v.data();
   const int64_t n1 = res1.sz, n2 = res2.sz;
@@ -1183,9 +1188,9 @@ bool best_pair(const Engine &E, Worker &w, PECand &res1, PECand &res2,
            && !best.sure_ambig()) {
       const Elem &s1 = v1[j1];
       if (scr2 == 0)
-        scr2 = w.aln.align(s2.d, max_diffs2, pread2, len2, s2.p, false);
+        scr2 = score2(j2, s2);
       if (w.mem_scr1[j1] == 0) {
-        scr1 = w.aln.align(s1.d, max_diffs1, pread1, len1, s1.p, false);
+        scr1 = score1(j1, s1);
         w.mem_scr1[j1] = scr1;
       }
       const int32_t pair_scr = scr2 + w.mem_scr1[j1];
@@ -1233,6 +1238,23 @@ bool best_pair(const Engine &E, Worker &w, PECand &res1, PECand &res2,
   cig1_out = cigar1;
   cig2_out = cigar2;
   return true;
+}
+
+bool best_pair(const Engine &E, Worker &w, PECand &res1, PECand &res2,
+               const uint8_t *pread1, int len1, const uint8_t *pread2,
+               int len2, PEBest &best, bool swap_ends, Cigar &cig1_out,
+               Cigar &cig2_out) {
+  const int32_t md1 = diffs_cutoff(len1, E.valid_frac);
+  const int32_t md2 = diffs_cutoff(len2, E.valid_frac);
+  return best_pair_impl(
+    E, w, res1, res2, pread1, len1, pread2, len2, best, swap_ends, cig1_out,
+    cig2_out,
+    [&](int64_t, const Elem &s1) {
+      return w.aln.align(s1.d, md1, pread1, len1, s1.p, false);
+    },
+    [&](int64_t, const Elem &s2) {
+      return w.aln.align(s2.d, md2, pread2, len2, s2.p, false);
+    });
 }
 
 // feed PE candidates into the SE fallback set (abismal.cpp:1715-1720)
@@ -1352,6 +1374,15 @@ void align_se_fallback(const Engine &E, Worker &w, const uint8_t *pt,
                       res_se, w, best, cig);
 }
 
+void finish_pe_pair(const Engine &E, Worker &w, PEBest &best, Cigar &cig1,
+                    Cigar &cig2, const uint8_t *p1t, const uint8_t *p1t_rc,
+                    const uint8_t *p1a, const uint8_t *p1a_rc,
+                    const uint8_t *p2t, const uint8_t *p2t_rc,
+                    const uint8_t *p2a, const uint8_t *p2a_rc,
+                    const uint8_t *name1, int64_t nl1, const uint8_t *read1,
+                    int l1, const uint8_t *name2, int64_t nl2,
+                    const uint8_t *read2, int l2, bool any_ok);
+
 // one read pair (engine.py map_pe_reads body; abismal.cpp:1887-2185)
 void map_one_pe(const Engine &E, Worker &w, const Events &ev, int64_t ri,
                 const uint8_t *name1, int64_t nl1, const uint8_t *read1,
@@ -1424,6 +1455,21 @@ void map_one_pe(const Engine &E, Worker &w, const Events &ev, int64_t ri,
     any_ok = ok1 || ok2 || ok3 || ok4;
   }
 
+  finish_pe_pair(E, w, best, cig1, cig2, p1t, p1t_rc, p1a, p1a_rc, p2t,
+                 p2t_rc, p2a, p2a_rc, name1, nl1, read1, l1, name2, nl2,
+                 read2, l2, any_ok);
+}
+
+// decide/fallback/format/stats tail of one PE pair, shared by map_one_pe
+// and the two-phase device-align path (abismal.cpp:1981-2029)
+void finish_pe_pair(const Engine &E, Worker &w, PEBest &best, Cigar &cig1,
+                    Cigar &cig2, const uint8_t *p1t, const uint8_t *p1t_rc,
+                    const uint8_t *p1a, const uint8_t *p1a_rc,
+                    const uint8_t *p2t, const uint8_t *p2t_rc,
+                    const uint8_t *p2a, const uint8_t *p2a_rc,
+                    const uint8_t *name1, int64_t nl1, const uint8_t *read1,
+                    int l1, const uint8_t *name2, int64_t nl2,
+                    const uint8_t *read2, int l2, bool any_ok) {
   if (!any_ok) {
     best.reset();
     w.se1.reset_plain();
@@ -1588,6 +1634,7 @@ void *engine_create(const uint8_t *genome_nib, const uint64_t *genome_words,
 
 namespace {
 void se_phase_delete(SEPhase *p);
+void pe_phase_delete(struct PEPhase *p);
 }  // namespace
 
 void engine_destroy(void *eng) {
@@ -1595,6 +1642,7 @@ void engine_destroy(void *eng) {
   for (auto *w : E->workers)
     delete w;
   se_phase_delete(E->se_phase);
+  pe_phase_delete(E->pe_phase);
   delete E;
 }
 
@@ -1855,6 +1903,311 @@ engine_se_phase2(void *eng, const int32_t *scores, int n_threads,
     }
   });
   sum_stats(E, stats_out, 6);
+  return (int64_t)E.out.size();
+}
+
+}  // extern "C"
+
+// ---------------------------------------------------------------------------
+// two-phase PE mapping for device-side batched alignment: phase 1 seeds all
+// fragment configurations of every pair (2 for directional protocols, 4 for
+// RPBAT), snapshots the post-mating candidate lists, and emits one alignment
+// job per candidate of each end; the caller scores them (Pallas banded
+// kernel); phase 2 replays the exact concordance sweeps -- including the
+// memoized/stale-scr1 semantics (abismal.cpp:1793-1799) -- with the provided
+// scores, then runs the decide/fallback/format tail.  INT32_MIN scores are
+// computed natively in phase 2 (jobs beyond the device cap).
+// ---------------------------------------------------------------------------
+namespace {
+
+struct PEFragCfg {
+  bool read2_first;  // fragment end-1 is the mate (swapped configs)
+  bool conv;         // conversion used to encode this fragment's queries
+  uint32_t sc1, sc2;
+  int du1, du2;      // unit-id offsets within the pair's unit block
+  int b1, b2, rcb;   // Worker buffer slots (match map_one_pe exactly)
+};
+
+inline int pe_cfgs(bool a_rich, bool rpbat, PEFragCfg *out) {
+  if (!rpbat) {
+    const bool conv = a_rich;
+    out[0] = {false, conv, strand_code(false, conv), strand_code(true, !conv),
+              0, 1, 0, 1, 0};
+    out[1] = {true, !conv, strand_code(false, !conv), strand_code(true, conv),
+              2, 3, 2, 3, 1};
+    return 2;
+  }
+  out[0] = {false, false, strand_code(false, false), strand_code(true, true),
+            0, 1, 0, 1, 0};
+  out[1] = {true, true, strand_code(false, true), strand_code(true, false),
+            2, 3, 2, 3, 1};
+  out[2] = {false, true, strand_code(false, true), strand_code(true, false),
+            4, 5, 4, 5, 0};
+  out[3] = {true, false, strand_code(false, false), strand_code(true, true),
+            6, 7, 6, 7, 1};
+  return 4;
+}
+
+struct PEFragSnap {
+  std::vector<Elem> c1, c2;    // post-prepare_for_mating candidate lists
+  int64_t js1 = 0, js2 = 0;    // job bases within the pair's job block
+  bool swept = false;
+  bool ok = false;             // map_fragments participation (len1 || len2)
+};
+
+struct PEPairState {
+  int l1 = 0, l2 = 0;
+  PEFragSnap frag[4];
+  SECand se1, se2;             // SE fallback sets after all configs
+  std::vector<uint8_t> encb[8];
+  std::vector<int32_t> jobs;   // 5 ints per job
+  int64_t job_start = 0;
+};
+
+struct PEPhase {
+  std::vector<PEPairState> states;
+  std::vector<int32_t> jobs;
+  const uint8_t *r1_blob = nullptr, *n1_blob = nullptr;
+  const int64_t *r1_offs = nullptr, *n1_offs = nullptr;
+  const uint8_t *r2_blob = nullptr, *n2_blob = nullptr;
+  const int64_t *r2_offs = nullptr, *n2_offs = nullptr;
+  int64_t n_reads = 0;
+  bool a_rich = false, rpbat = false;
+};
+
+void pe_phase_delete(PEPhase *p) { delete p; }
+
+PEPhase &pe_phase_of(Engine &E) {
+  if (!E.pe_phase)
+    E.pe_phase = new PEPhase();
+  return *E.pe_phase;
+}
+
+}  // namespace
+
+extern "C" {
+
+int64_t
+engine_pe_phase1(void *eng, const uint8_t *reads1_blob,
+                 const int64_t *read1_offs, const uint8_t *names1_blob,
+                 const int64_t *name1_offs, const uint8_t *reads2_blob,
+                 const int64_t *read2_offs, const uint8_t *names2_blob,
+                 const int64_t *name2_offs, int64_t n_reads, int a_rich_mode,
+                 int random_pbat, const uint32_t *ev_pos,
+                 const int32_t *ev_diffs, const int32_t *ev_rank,
+                 const int64_t *ev_start, const int64_t *ev_count,
+                 int64_t ev_boundary, int n_threads) {
+  Engine &E = *(Engine *)eng;
+  Events ev{ev_pos, ev_diffs, ev_rank, ev_start, ev_count, ev_boundary};
+  PEPhase &P = pe_phase_of(E);
+  P.states.assign(n_reads, PEPairState());
+  P.r1_blob = reads1_blob;
+  P.r1_offs = read1_offs;
+  P.n1_blob = names1_blob;
+  P.n1_offs = name1_offs;
+  P.r2_blob = reads2_blob;
+  P.r2_offs = read2_offs;
+  P.n2_blob = names2_blob;
+  P.n2_offs = name2_offs;
+  P.n_reads = n_reads;
+  P.a_rich = a_rich_mode != 0;
+  P.rpbat = random_pbat != 0;
+  const int per = P.rpbat ? 8 : 4;
+  const int n_slots = P.rpbat ? 8 : 4;
+
+  run_threads(E, n_reads, n_threads, [&](Worker &w, int64_t lo, int64_t hi) {
+    PEFragCfg cfg[4];
+    const int nf = pe_cfgs(P.a_rich, P.rpbat, cfg);
+    for (int64_t ri = lo; ri < hi; ++ri) {
+      PEPairState &st = P.states[ri];
+      const uint8_t *read1 = reads1_blob + read1_offs[ri];
+      const int l1 = (int)(read1_offs[ri + 1] - read1_offs[ri]);
+      const uint8_t *read2 = reads2_blob + read2_offs[ri];
+      const int l2 = (int)(read2_offs[ri + 1] - read2_offs[ri]);
+      st.l1 = l1;
+      st.l2 = l2;
+      w.se1.reset(l1);
+      w.se2.reset(l2);
+      for (int s = 0; s < n_slots; ++s)
+        w.buf[s].clear();
+      for (int f = 0; f < nf; ++f) {
+        const PEFragCfg &c = cfg[f];
+        PEFragSnap &sn = st.frag[f];
+        const uint8_t *ra = c.read2_first ? read2 : read1;
+        const int la = c.read2_first ? l2 : l1;
+        const uint8_t *rb = c.read2_first ? read1 : read2;
+        const int lb = c.read2_first ? l1 : l2;
+        PECand &res1 = w.pe1;
+        PECand &res2 = w.pe2;
+        res1.reset(la);
+        res2.reset(lb);
+        sn.ok = la || lb;
+        if (!sn.ok)
+          continue;
+        if (la) {
+          encode_read(ra, la, c.conv, w.buf[c.b1]);
+          seeds(E, w, ev, (int64_t)per * ri + c.du1, w.buf[c.b1].data(), la,
+                c.sc1, res1);
+        }
+        if (lb) {
+          revcomp_ascii(rb, lb, w.rcbuf[c.rcb]);
+          encode_read(w.rcbuf[c.rcb].data(), lb, c.conv, w.buf[c.b2]);
+          seeds(E, w, ev, (int64_t)per * ri + c.du2, w.buf[c.b2].data(), lb,
+                c.sc2, res2);
+        }
+        if (res1.should_align() && res2.should_align()) {
+          res1.prepare_for_mating();
+          res2.prepare_for_mating();
+          sn.swept = true;
+          sn.c1.assign(res1.v.begin(), res1.v.begin() + res1.sz);
+          sn.c2.assign(res2.v.begin(), res2.v.begin() + res2.sz);
+          const int32_t md1 = diffs_cutoff(la, E.valid_frac);
+          const int32_t md2 = diffs_cutoff(lb, E.valid_frac);
+          sn.js1 = (int64_t)st.jobs.size() / 5;
+          for (const Elem &e : sn.c1) {
+            st.jobs.push_back((int32_t)ri);
+            st.jobs.push_back(c.b1);
+            st.jobs.push_back((int32_t)e.p);
+            st.jobs.push_back(band_width(e.d, md1));
+            st.jobs.push_back(la);
+          }
+          sn.js2 = (int64_t)st.jobs.size() / 5;
+          for (const Elem &e : sn.c2) {
+            st.jobs.push_back((int32_t)ri);
+            st.jobs.push_back(c.b2);
+            st.jobs.push_back((int32_t)e.p);
+            st.jobs.push_back(band_width(e.d, md2));
+            st.jobs.push_back(lb);
+          }
+        }
+        best_single(res1, c.read2_first ? w.se2 : w.se1);
+        best_single(res2, c.read2_first ? w.se1 : w.se2);
+      }
+      st.se1 = w.se1;
+      st.se2 = w.se2;
+      for (int s = 0; s < n_slots; ++s)
+        st.encb[s] = w.buf[s];
+    }
+  });
+  E.out.clear();  // no text is produced in phase 1
+
+  P.jobs.clear();
+  int64_t n_jobs = 0;
+  for (auto &st : P.states) {
+    st.job_start = n_jobs;
+    n_jobs += (int64_t)st.jobs.size() / 5;
+    P.jobs.insert(P.jobs.end(), st.jobs.begin(), st.jobs.end());
+  }
+  return n_jobs;
+}
+
+const int32_t *
+engine_pe_jobs_ptr(void *eng) {
+  return pe_phase_of(*(Engine *)eng).jobs.data();
+}
+
+int64_t
+engine_pe_phase2(void *eng, const int32_t *scores, int n_threads,
+                 int64_t *stats_out) {
+  Engine &E = *(Engine *)eng;
+  PEPhase &P = pe_phase_of(E);
+  int max_len = 1;
+  for (auto &st : P.states) {
+    max_len = std::max(max_len, st.l1);
+    max_len = std::max(max_len, st.l2);
+  }
+
+  run_threads(E, P.n_reads, n_threads,
+              [&](Worker &w, int64_t lo, int64_t hi) {
+    w.aln.reset(max_len);
+    PEFragCfg cfg[4];
+    const int nf = pe_cfgs(P.a_rich, P.rpbat, cfg);
+    for (int64_t ri = lo; ri < hi; ++ri) {
+      PEPairState &st = P.states[ri];
+      const uint8_t *read1 = P.r1_blob + P.r1_offs[ri];
+      const uint8_t *name1 = P.n1_blob + P.n1_offs[ri];
+      const int64_t nl1 = P.n1_offs[ri + 1] - P.n1_offs[ri];
+      const uint8_t *read2 = P.r2_blob + P.r2_offs[ri];
+      const uint8_t *name2 = P.n2_blob + P.n2_offs[ri];
+      const int64_t nl2 = P.n2_offs[ri + 1] - P.n2_offs[ri];
+      const int l1 = st.l1, l2 = st.l2;
+
+      w.se1 = st.se1;
+      w.se2 = st.se2;
+      PEBest best;
+      best.init(l1, l2);
+      Cigar cig1, cig2;
+      cig1.clear();
+      cig2.clear();
+      bool any_ok = false;
+      auto enc_of = [&](int slot) -> const uint8_t * {
+        return st.encb[slot].empty() ? nullptr : st.encb[slot].data();
+      };
+      for (int f = 0; f < nf; ++f) {
+        const PEFragCfg &c = cfg[f];
+        PEFragSnap &sn = st.frag[f];
+        any_ok = any_ok || sn.ok;
+        if (!sn.swept)
+          continue;
+        const int la = c.read2_first ? l2 : l1;
+        const int lb = c.read2_first ? l1 : l2;
+        PECand &res1 = w.pe1;
+        PECand &res2 = w.pe2;
+        res1.sz = (int)sn.c1.size();
+        std::copy(sn.c1.begin(), sn.c1.end(), res1.v.begin());
+        res2.sz = (int)sn.c2.size();
+        std::copy(sn.c2.begin(), sn.c2.end(), res2.v.begin());
+        const uint8_t *pr1 = enc_of(c.b1);
+        const uint8_t *pr2 = enc_of(c.b2);
+        const int32_t md1 = diffs_cutoff(la, E.valid_frac);
+        const int32_t md2 = diffs_cutoff(lb, E.valid_frac);
+        const int32_t *s1 = scores + st.job_start + sn.js1;
+        const int32_t *s2 = scores + st.job_start + sn.js2;
+        Cigar nc1, nc2;
+        const bool bp = best_pair_impl(
+          E, w, res1, res2, pr1, la, pr2, lb, best, c.read2_first, nc1, nc2,
+          [&](int64_t j, const Elem &e) {
+            const int32_t v = s1[j];
+            if (v != INT32_MIN)
+              return v;
+            return (int32_t)w.aln.align(e.d, md1, pr1, la, e.p, false);
+          },
+          [&](int64_t j, const Elem &e) {
+            const int32_t v = s2[j];
+            if (v != INT32_MIN)
+              return v;
+            return (int32_t)w.aln.align(e.d, md2, pr2, lb, e.p, false);
+          });
+        if (bp) {
+          *(c.read2_first ? &cig2 : &cig1) = nc1;
+          *(c.read2_first ? &cig1 : &cig2) = nc2;
+        }
+      }
+
+      const uint8_t *p1t, *p1t_rc, *p1a, *p1a_rc;
+      const uint8_t *p2t, *p2t_rc, *p2a, *p2a_rc;
+      if (!P.rpbat) {
+        p1t = p1a = enc_of(0);
+        p1t_rc = p1a_rc = enc_of(3);
+        p2t = p2a = enc_of(2);
+        p2t_rc = p2a_rc = enc_of(1);
+      }
+      else {
+        p1t = enc_of(0);
+        p1t_rc = enc_of(7);
+        p1a = enc_of(4);
+        p1a_rc = enc_of(3);
+        p2t = enc_of(6);
+        p2t_rc = enc_of(1);
+        p2a = enc_of(2);
+        p2a_rc = enc_of(5);
+      }
+      finish_pe_pair(E, w, best, cig1, cig2, p1t, p1t_rc, p1a, p1a_rc, p2t,
+                     p2t_rc, p2a, p2a_rc, name1, nl1, read1, l1, name2, nl2,
+                     read2, l2, any_ok);
+    }
+  });
+  sum_stats(E, stats_out, 18);
   return (int64_t)E.out.size();
 }
 
