@@ -142,6 +142,16 @@ def cmd_map(argv):
     p.add_argument("--lmax", type=int, default=128,
                    help="padded read length for the device pipeline; reads "
                         "longer than this use the host path")
+    p.add_argument("--device-align", dest="device_align", default=None,
+                   action="store_true",
+                   help="score candidate alignments on the accelerator too "
+                        "(--engine tpu; best for locally attached chips -- "
+                        "on a high-latency link the extra roundtrip can "
+                        "cost more than host alignment)")
+    p.add_argument("--mesh", default=None,
+                   help="shard unit batches over N local devices with the "
+                        "index replicated per chip (--engine tpu; "
+                        "an integer or 'all')")
     p.add_argument("reads_files", nargs="+")
     a = p.parse_args(argv)
 
@@ -183,8 +193,12 @@ def cmd_map(argv):
     elif a.engine == "tpu":
         from .map.pipeline import make_tpu_native_engine_factory
 
+        mesh = a.mesh
+        if mesh is not None and mesh != "all":
+            mesh = int(mesh)
         engine_factory = make_tpu_native_engine_factory(
-            lmax=a.lmax, n_threads=a.threads)
+            lmax=a.lmax, n_threads=a.threads, mesh_devices=mesh,
+            device_align=a.device_align)
     elif a.engine == "tpu-replay":
         from .map.pipeline import make_tpu_engine_factory
 

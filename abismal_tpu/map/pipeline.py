@@ -1082,22 +1082,26 @@ def make_native_engine_factory(n_threads: int = 1):
 
 
 def make_tpu_native_engine_factory(lmax: int = 128, unit_batch: int = 2048,
-                                   n_threads: int = 1, mesh_devices=None):
+                                   n_threads: int = 1, mesh_devices=None,
+                                   device_align=None, align_jcap: int = 8192):
     """Flagship: device stage-1 + native stage-2, memoized per index.
     mesh_devices="all" (or an int) shards unit batches over the local
-    device mesh with the index replicated per chip."""
+    device mesh with the index replicated per chip.  device_align=True
+    scores candidate alignments on the device too (None = env default)."""
 
     def factory(index, allow_ambig, valid_frac, pe_min_dist, pe_max_dist):
         key = ("tpu-native", id(index), int(index.max_candidates),
                allow_ambig, valid_frac, pe_min_dist, pe_max_dist, lmax,
-               unit_batch, mesh_devices)
+               unit_batch, mesh_devices, device_align, align_jcap)
         hit = _engine_memo.get(key)
         if hit is not None and hit[0] is index:
             hit[1].n_threads = n_threads
             return hit[1]
         eng = TpuNativeEngine(index, allow_ambig, valid_frac, pe_min_dist,
                               pe_max_dist, lmax=lmax, unit_batch=unit_batch,
-                              n_threads=n_threads, mesh_devices=mesh_devices)
+                              n_threads=n_threads, mesh_devices=mesh_devices,
+                              device_align=device_align,
+                              align_jcap=align_jcap)
         _engine_memo[key] = (index, eng)
         return eng
 

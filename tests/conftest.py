@@ -6,12 +6,23 @@ import shutil
 import pytest
 
 # Device tests run on a virtual 8-device CPU mesh; the real-TPU path is
-# exercised by bench.py / the driver, not by unit tests.
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
-os.environ.setdefault(
-    "XLA_FLAGS",
-    os.environ.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=8",
-)
+# exercised by bench.py / the driver, not by unit tests.  Force (not
+# setdefault) both knobs: the ambient environment may point JAX_PLATFORMS at
+# a real accelerator, which would silently skip the mesh tests and run every
+# parity test over the (slow, shared) device link.
+os.environ["JAX_PLATFORMS"] = "cpu"
+if "--xla_force_host_platform_device_count" not in os.environ.get("XLA_FLAGS", ""):
+    os.environ["XLA_FLAGS"] = (
+        os.environ.get("XLA_FLAGS", "")
+        + " --xla_force_host_platform_device_count=8"
+    )
+# A site hook may have imported jax at interpreter startup to register an
+# accelerator plugin, in which case jax's config already captured the
+# ambient JAX_PLATFORMS and the env write above is too late.
+if "jax" in __import__("sys").modules:
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
 
 HERE = os.path.dirname(os.path.abspath(__file__))
 GOLDEN = os.path.join(HERE, "golden")

@@ -131,6 +131,37 @@ def test_stage1_events_match_oracle(trex1_index):
             map(tuple, res_b.v[: res_b.sz]))
 
 
+@pytest.mark.parametrize("prefix,paired,pbat", [
+    ("small", False, False),
+    ("small_pe", True, False),
+    ("small_pbat_pe", True, True),
+    ("small_rpbat_pe", True, True),
+])
+def test_device_align_parity(tmp_path, trex1_index, prefix, paired, pbat):
+    """Device-side batched alignment (Pallas banded kernel in interpret
+    mode on CPU) must stay byte-identical on all four protocols.  The tiny
+    align_jcap forces some jobs past the per-chunk device cap, covering
+    the native re-score fallback in phase 2 as well."""
+    from abismal_tpu.map.engine import run_map
+    from abismal_tpu.map.pipeline import make_tpu_native_engine_factory
+
+    flag = "-P " if pbat else ""
+    fq1 = golden_path(prefix + "_1.fq")
+    fq2 = golden_path(prefix + "_2.fq") if paired else None
+    tail = (f"tests/{prefix}_1.fq tests/{prefix}_2.fq" if paired
+            else f"tests/{prefix}_1.fq")
+    cl = (f"map {flag}-s tests/{prefix}.mstats -o tests/{prefix}.sam "
+          f"-i tests/tRex1.idx {tail}")
+    sam = tmp_path / "out.sam"
+    mstats = tmp_path / "out.mstats"
+    run_map(trex1_index, fq1, fq2, str(sam), str(mstats), cl, pbat=pbat,
+            engine_factory=make_tpu_native_engine_factory(
+                unit_batch=128, n_threads=2, device_align=True,
+                align_jcap=256))
+    assert sam.read_text() == _read_golden(prefix + ".sam")
+    assert mstats.read_text() == _read_golden(prefix + ".mstats")
+
+
 @pytest.mark.slow
 def test_hybrid_runner_parity(tmp_path, trex1_index):
     """Device stage-1 + multiprocess decode must stay byte-identical."""
