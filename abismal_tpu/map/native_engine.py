@@ -217,6 +217,43 @@ class NativeMappingEngine:
                 setattr(dst, f, getattr(dst, f) + int(st[6 * blk + i]))
         self._phase_refs = None
 
+    # ---- fully-native streaming loop (engine_run_se/pe) --------------------
+    # FASTQ parse, mapping threads, and ordered SAM writing all run inside
+    # the native library; no Python executes per read.  Only usable for
+    # SAM-text output (BAM goes through the Python BGZF writer).
+    supports_streaming = True
+
+    def run_streaming(self, reads_file1, reads_file2, out_path, header: str,
+                      a_rich_mode, random_pbat, stats, batch_size=1000,
+                      verbose=False):
+        hdr = header.encode()
+        if reads_file2 is None:
+            st = np.zeros(6, dtype=np.int64)
+            n = self.lib.engine_run_se(
+                self._ctx, reads_file1.encode(), out_path.encode(), hdr,
+                len(hdr), int(a_rich_mode), int(random_pbat),
+                int(batch_size), self.n_threads, _ptr(st), int(verbose))
+            if n < 0:
+                raise RuntimeError(
+                    self.lib.engine_error_ptr(self._ctx).decode())
+            for i, f in enumerate(_SE_FIELDS):
+                setattr(stats, f, getattr(stats, f) + int(st[i]))
+        else:
+            st = np.zeros(18, dtype=np.int64)
+            n = self.lib.engine_run_pe(
+                self._ctx, reads_file1.encode(), reads_file2.encode(),
+                out_path.encode(), hdr, len(hdr), int(a_rich_mode),
+                int(random_pbat), int(batch_size), self.n_threads, _ptr(st),
+                int(verbose))
+            if n < 0:
+                raise RuntimeError(
+                    self.lib.engine_error_ptr(self._ctx).decode())
+            for blk, dst in enumerate((stats.read_pair_stats,
+                                       stats.end1_stats, stats.end2_stats)):
+                for i, f in enumerate(_SE_FIELDS):
+                    setattr(dst, f, getattr(dst, f) + int(st[6 * blk + i]))
+        return int(n)
+
     # ---- pipelined interface (dispatch/finish; no-op split here) -----------
     def dispatch_se(self, reads, a_rich_mode, random_pbat):
         return (reads, a_rich_mode, random_pbat, None)
@@ -258,6 +295,26 @@ def run_map_pipelined(engine, index, reads_file1, reads_file2, out_path,
     from collections import deque
 
     paired = reads_file2 is not None
+
+    # fully-native loop: for SAM-text output from the pure-native engine,
+    # the whole read->map->write stream runs inside the C++ library
+    if not bam and getattr(engine, "supports_streaming", False):
+        import time as _t
+
+        start = _t.monotonic()
+        stats = PEStats() if paired else SEStats()
+        a_rich_mode = (pbat if paired else (a_rich or pbat))
+        engine.run_streaming(
+            reads_file1, reads_file2, out_path,
+            make_sam_header(index.cl, command_line), a_rich_mode,
+            random_pbat, stats, verbose=verbose)
+        if verbose:
+            import sys as _sys
+
+            print(f"[total mapping time: {_t.monotonic() - start:.2f}s]",
+                  file=_sys.stderr)
+        return stats
+
     depth = max(1, getattr(engine, "pipeline_depth", 1))
     # engines that talk to an accelerator prefer one device call per read
     # batch: the tunnel's per-call latency dominates, so batch size is

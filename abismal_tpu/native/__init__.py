@@ -25,7 +25,7 @@ def _load(stem: str) -> ctypes.CDLL:
         tmp = so + f".tmp{os.getpid()}"
         cmd = [
             "g++", "-std=c++17", "-O3", "-fPIC", "-shared", "-march=native",
-            "-pthread", "-o", tmp, src,
+            "-pthread", "-o", tmp, src, "-lz",
         ]
         subprocess.run(cmd, check=True, capture_output=True)
         os.replace(tmp, so)
@@ -192,6 +192,32 @@ def get_engine_lib() -> ctypes.CDLL:
         lib.engine_pe_phase2.restype = ctypes.c_int64
         lib.engine_pe_phase2.argtypes = [
             ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int, ctypes.c_void_p,
+        ]
+
+        lib.engine_error_ptr.restype = ctypes.c_char_p
+        lib.engine_error_ptr.argtypes = [ctypes.c_void_p]
+        lib.engine_set_profile.restype = None
+        lib.engine_set_profile.argtypes = [ctypes.c_void_p, ctypes.c_int]
+        lib.engine_stage_ns.restype = None
+        lib.engine_stage_ns.argtypes = [
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int,
+        ]
+        lib.engine_run_se.restype = ctypes.c_int64
+        lib.engine_run_se.argtypes = [
+            ctypes.c_void_p, ctypes.c_char_p, ctypes.c_char_p,  # fq, out
+            ctypes.c_char_p, ctypes.c_int64,  # header, header_len
+            ctypes.c_int, ctypes.c_int,  # a_rich_mode, random_pbat
+            ctypes.c_int64, ctypes.c_int,  # batch_size, n_threads
+            ctypes.c_void_p, ctypes.c_int,  # stats_out, verbose
+        ]
+        lib.engine_run_pe.restype = ctypes.c_int64
+        lib.engine_run_pe.argtypes = [
+            ctypes.c_void_p, ctypes.c_char_p, ctypes.c_char_p,
+            ctypes.c_char_p,  # fq1, fq2, out
+            ctypes.c_char_p, ctypes.c_int64,  # header, header_len
+            ctypes.c_int, ctypes.c_int,  # a_rich_mode, random_pbat
+            ctypes.c_int64, ctypes.c_int,  # batch_size, n_threads
+            ctypes.c_void_p, ctypes.c_int,  # stats_out, verbose
         ]
 
         _LIBS["_engine"] = lib

@@ -18,13 +18,24 @@
 
 #include <algorithm>
 #include <atomic>
+#include <chrono>
 #include <climits>
+#include <condition_variable>
 #include <cstdint>
 #include <cstdio>
 #include <cstring>
+#include <mutex>
 #include <string>
 #include <thread>
 #include <vector>
+
+#include <sys/stat.h>
+#include <unistd.h>
+#include <zlib.h>
+
+#if defined(__AVX512BW__)
+#include <immintrin.h>
+#endif
 
 namespace {
 
@@ -330,9 +341,31 @@ inline int band_width(int32_t diffs, int32_t max_diffs) {
   return b < 0 ? BANDWIDTH : (int)std::min<int64_t>(BANDWIDTH, b);
 }
 
+// per-stage wall-time accounting (engine_set_profile / engine_stage_ns);
+// ~40ns/read overhead when enabled, zero branches beyond the flag when off
+bool g_profile = false;
+
+struct StageTimer {
+  int64_t *slot;
+  std::chrono::steady_clock::time_point t0;
+  explicit StageTimer(int64_t *s) : slot(s) {
+    if (g_profile)
+      t0 = std::chrono::steady_clock::now();
+  }
+  ~StageTimer() {
+    if (g_profile)
+      *slot += std::chrono::duration_cast<std::chrono::nanoseconds>(
+                 std::chrono::steady_clock::now() - t0)
+                 .count();
+  }
+};
+
 struct Aligner {
   const uint8_t *gnib;
+  int64_t *stat = nullptr;  // -> Worker::tns (profiling histogram)
   std::vector<int16_t> table;
+  std::vector<int16_t> rowscratch;  // log-scan shift buffer (score-only path)
+  std::vector<uint8_t> qpad;        // zero-padded query copy (score-only path)
   std::vector<int8_t> tb;
   int q_sz = 0;
   bool have_tb = false;
@@ -348,15 +381,18 @@ struct Aligner {
       table.resize(n);
       tb.resize(n);
     }
+    rowscratch.resize(2 * BANDWIDTH);
+    qpad.resize((size_t)max_read_len + 2 * BANDWIDTH + 32);
   }
 
-  int16_t run(const uint8_t *q, int64_t qs, int64_t t_pos, int64_t bw,
-              bool do_tb) {
+  // Traceback variant: the reference's exact 3-kernel update with arrow
+  // capture, including its equal-score arrow-overwrite tie behavior
+  // (AbismalAlign.hpp:266-307).  Runs only for winners, so stays scalar.
+  int16_t run_tb(const uint8_t *q, int64_t qs, int64_t t_pos, int64_t bw) {
     const int64_t t_shift = qs + bw;
     const int64_t n_cells = t_shift * bw;
     std::memset(table.data(), 0, n_cells * sizeof(int16_t));
-    if (do_tb)
-      std::memset(tb.data(), -1, n_cells);
+    std::memset(tb.data(), -1, n_cells);
     const int64_t t_beg = t_pos - ((bw - 1) / 2);
     const uint8_t *t_itr = gnib + t_beg;
     for (int64_t i = 1; i < t_shift; ++i) {
@@ -364,7 +400,7 @@ struct Aligner {
       const int64_t right = std::min<int64_t>(bw, t_shift - i);
       int16_t *cur = table.data() + i * bw;
       const int16_t *prev = cur - bw;
-      int8_t *trow = do_tb ? tb.data() + i * bw : nullptr;
+      int8_t *trow = tb.data() + i * bw;
       const uint8_t ref_base = t_itr[i - 1];
       const int64_t q0 = i - bw;
       for (int64_t j = left; j < right; ++j) {
@@ -373,21 +409,21 @@ struct Aligner {
         const int16_t score = (int16_t)(prev[j] + sub);
         if (score > cur[j])
           cur[j] = score;
-        if (do_tb && cur[j] == score)
+        if (cur[j] == score)
           trow[j] = (int8_t)CIG_M;
       }
       for (int64_t j = left; j + 1 < right; ++j) {
         const int16_t score = (int16_t)(prev[j + 1] + ALN_INDEL);
         if (score > cur[j])
           cur[j] = score;
-        if (do_tb && cur[j] == score)
+        if (cur[j] == score)
           trow[j] = (int8_t)CIG_D;
       }
       for (int64_t j = left + 1; j < right; ++j) {
         const int16_t score = (int16_t)(cur[j - 1] + ALN_INDEL);
         if (score > cur[j])
           cur[j] = score;
-        if (do_tb && cur[j] == score)
+        if (cur[j] == score)
           trow[j] = (int8_t)CIG_I;
       }
     }
@@ -396,6 +432,173 @@ struct Aligner {
       if (table[k] > bestv)
         bestv = table[k];
     return bestv;
+  }
+
+  // Score-only variant, restructured for SIMD: the band row lives in two
+  // fixed 64-lane i16 buffers (prev/cur) that stay in registers/L1 -- no
+  // score table at all.  Every pass is a fixed-bound loop over 64 lanes
+  // with no data-dependent conditionals, which GCC turns into a handful of
+  // AVX-512 ops per row.  Out-of-band lanes are provably zero (padded
+  // query bases are 0-nibbles => mismatch => zero floor), so in-band
+  // cells see exactly the inputs of the reference's [left, right) loops.
+  // The serial insertion-gap scan (AbismalAlign.hpp from_left) is
+  // replaced by an exact log-doubling max-decay prefix scan: after rounds
+  // s = 1,2,4,... v[j] = max_{k<=j}(v0[k] - 4*(j-k)), the fixpoint the
+  // sequential scan computes.
+  template <int LANES>
+  int16_t run_score_impl(const uint8_t *q, int64_t qs, int64_t t_pos,
+                         int64_t bw) {
+    const int64_t t_shift = qs + bw;
+    // padded query: row reads qp[i - bw + j] for j in [0, LANES) --
+    // padding keeps that in-bounds, and 0-nibble padding bases force
+    // mismatches
+    std::memset(qpad.data(), 0, bw);
+    std::memcpy(qpad.data() + bw, q, qs);
+    std::memset(qpad.data() + bw + qs, 0, LANES + 16);
+    const uint8_t *qp = qpad.data() + bw;
+    const int64_t t_beg = t_pos - ((bw - 1) / 2);
+    const uint8_t *t_itr = gnib + t_beg;
+    alignas(64) int16_t buf_a[LANES + 1], buf_b[LANES + 1], scr[LANES],
+      rmax[LANES];
+    for (int j = 0; j < LANES; ++j) {
+      buf_a[j] = buf_b[j] = rmax[j] = 0;
+    }
+    buf_a[LANES] = buf_b[LANES] = 0;  // deletion pass reads prev[j + 1]
+    int16_t *prev = buf_a, *cur = buf_b;
+    for (int64_t i = 1; i < t_shift; ++i) {
+      const int right = (int)std::min<int64_t>(bw, t_shift - i);
+      const uint8_t ref_base = t_itr[i - 1];
+      const uint8_t *qrow = qp + (i - bw);
+      // diagonal with zero floor, then deletion (row above, lane right)
+      for (int j = 0; j < LANES; ++j) {
+        const int16_t sub = (qrow[j] & ref_base) ? ALN_MATCH : ALN_MISMATCH;
+        int16_t v = (int16_t)(prev[j] + sub);
+        v = v > 0 ? v : 0;
+        const int16_t del = (int16_t)(prev[j + 1] + ALN_INDEL);
+        cur[j] = del > v ? del : v;
+      }
+      // right-of-band lanes must be zero before the insertion scan (the
+      // deletion pass reaches one lane past the band)
+      for (int j = right; j < LANES; ++j)
+        cur[j] = 0;
+      // insertion: log-doubling max-decay prefix scan (exact fixpoint of
+      // the reference's sequential from_left pass in ceil(log2(bw)) rounds)
+      for (int s = 1, pen = -(int)ALN_INDEL; s < (int)bw;
+           s <<= 1, pen <<= 1) {
+        for (int j = 0; j < s; ++j)
+          scr[j] = (int16_t)pen;  // decays to <= 0: out-of-range lanes lose
+        for (int j = s; j < LANES; ++j)
+          scr[j] = cur[j - s];
+        for (int j = 0; j < LANES; ++j) {
+          const int16_t v = (int16_t)(scr[j] - (int16_t)pen);
+          cur[j] = v > cur[j] ? v : cur[j];
+        }
+      }
+      // scan leak into lanes >= right is bounded by in-band values, so the
+      // row max can run over all lanes
+      for (int j = 0; j < LANES; ++j)
+        rmax[j] = cur[j] > rmax[j] ? cur[j] : rmax[j];
+      // zero every lane the next row must see as out-of-band, including
+      // lane right-1 when the band shrinks: the reference's deletion loop
+      // (j + 1 < right) never reads prev[right], so that lane must be 0
+      const int right_next =
+        (int)std::min<int64_t>(bw, std::max<int64_t>(t_shift - i - 1, 0));
+      for (int j = right_next; j < LANES; ++j)
+        cur[j] = 0;
+      int16_t *t = prev;
+      prev = cur;
+      cur = t;
+    }
+    int16_t bestv = 0;
+    for (int j = 0; j < LANES; ++j)
+      bestv = rmax[j] > bestv ? rmax[j] : bestv;
+    return bestv;
+  }
+
+#if defined(__AVX512BW__)
+  // One band row per ZMM register (32 i16 lanes): the whole DP state stays
+  // in registers, lane shifts are vpermw, the zero floor and band masks
+  // are k-masks.  Same recurrence and boundary semantics as
+  // run_score_impl (which remains the checked fallback for bw >= 32 and
+  // non-AVX512 builds).
+  int16_t run_score_zmm(const uint8_t *q, int64_t qs, int64_t t_pos,
+                        int64_t bw) {
+    const int64_t t_shift = qs + bw;
+    std::memset(qpad.data(), 0, bw);
+    std::memcpy(qpad.data() + bw, q, qs);
+    std::memset(qpad.data() + bw + qs, 0, 48);
+    const uint8_t *qp = qpad.data() + bw;
+    const int64_t t_beg = t_pos - ((bw - 1) / 2);
+    const uint8_t *t_itr = gnib + t_beg;
+    const __m512i vzero = _mm512_setzero_si512();
+    const __m512i vmatch = _mm512_set1_epi16(ALN_MATCH);
+    const __m512i vmis = _mm512_set1_epi16(ALN_MISMATCH);
+    const __m512i vindel = _mm512_set1_epi16(ALN_INDEL);
+    const __m512i iota = _mm512_set_epi16(
+      31, 30, 29, 28, 27, 26, 25, 24, 23, 22, 21, 20, 19, 18, 17, 16, 15,
+      14, 13, 12, 11, 10, 9, 8, 7, 6, 5, 4, 3, 2, 1, 0);
+    const __m512i idx_dn1 = _mm512_add_epi16(iota, _mm512_set1_epi16(1));
+    // insertion-scan round constants (s = 1, 2, 4, ... < bw)
+    __m512i idxs[5], penv[5];
+    __mmask32 kms[5];
+    int nrounds = 0;
+    for (int s = 1, pen = -(int)ALN_INDEL; s < (int)bw; s <<= 1, pen <<= 1) {
+      idxs[nrounds] = _mm512_sub_epi16(iota, _mm512_set1_epi16((int16_t)s));
+      kms[nrounds] = 0xFFFFFFFFu << s;
+      penv[nrounds] = _mm512_set1_epi16((int16_t)pen);
+      ++nrounds;
+    }
+    __m512i prev = vzero, rmaxv = vzero;
+    for (int64_t i = 1; i < t_shift; ++i) {
+      const int right = (int)std::min<int64_t>(bw, t_shift - i);
+      const __mmask32 bandmask = (1u << right) - 1;
+      const __m256i qb =
+        _mm256_loadu_si256((const __m256i *)(qp + (i - bw)));
+      const __m512i qw = _mm512_cvtepu8_epi16(qb);
+      const __m512i refv = _mm512_set1_epi16((int16_t)t_itr[i - 1]);
+      const __mmask32 mm = _mm512_test_epi16_mask(qw, refv);
+      const __m512i sub = _mm512_mask_blend_epi16(mm, vmis, vmatch);
+      const __m512i diag =
+        _mm512_max_epi16(_mm512_add_epi16(prev, sub), vzero);
+      const __m512i prevdn =
+        _mm512_maskz_permutexvar_epi16(0x7FFFFFFFu, idx_dn1, prev);
+      const __m512i del = _mm512_add_epi16(prevdn, vindel);
+      __m512i cur =
+        _mm512_maskz_mov_epi16(bandmask, _mm512_max_epi16(diag, del));
+      for (int r = 0; r < nrounds; ++r) {
+        const __m512i sh =
+          _mm512_maskz_permutexvar_epi16(kms[r], idxs[r], cur);
+        cur = _mm512_max_epi16(cur, _mm512_sub_epi16(sh, penv[r]));
+      }
+      rmaxv = _mm512_max_epi16(rmaxv, cur);
+      const int right_next =
+        (int)std::min<int64_t>(bw, std::max<int64_t>(t_shift - i - 1, 0));
+      prev = _mm512_maskz_mov_epi16((1u << right_next) - 1, cur);
+    }
+    __m256i a = _mm256_max_epi16(_mm512_castsi512_si256(rmaxv),
+                                 _mm512_extracti64x4_epi64(rmaxv, 1));
+    __m128i b = _mm_max_epi16(_mm256_castsi256_si128(a),
+                              _mm256_extracti128_si256(a, 1));
+    b = _mm_max_epi16(b, _mm_srli_si128(b, 8));
+    b = _mm_max_epi16(b, _mm_srli_si128(b, 4));
+    b = _mm_max_epi16(b, _mm_srli_si128(b, 2));
+    return (int16_t)_mm_extract_epi16(b, 0);
+  }
+#endif
+
+  int16_t run_score(const uint8_t *q, int64_t qs, int64_t t_pos,
+                    int64_t bw) {
+#if defined(__AVX512BW__)
+    if (bw < 32)
+      return run_score_zmm(q, qs, t_pos, bw);
+    return run_score_impl<64>(q, qs, t_pos, bw);
+#else
+    if (bw < 16)
+      return run_score_impl<16>(q, qs, t_pos, bw);
+    if (bw < 32)
+      return run_score_impl<32>(q, qs, t_pos, bw);
+    return run_score_impl<64>(q, qs, t_pos, bw);
+#endif
   }
 
   // align.py BandedAligner.align: score (and optional traceback capture)
@@ -407,7 +610,19 @@ struct Aligner {
       return (int32_t)(ALN_MATCH * qs);
     }
     const int bw = band_width(diffs, max_diffs);
-    const int16_t r = run(q, qs, t_pos, bw, do_tb);
+    if (g_profile && stat) {
+      stat[do_tb ? 6 : 4] += 1;
+      if (!do_tb) {
+        stat[5] += (qs + bw) * bw;
+        stat[7] += bw;
+        if (bw < 16)
+          stat[8] += (qs + bw) * bw;
+        else if (bw < 32)
+          stat[9] += (qs + bw) * bw;
+      }
+    }
+    const int16_t r =
+      do_tb ? run_tb(q, qs, t_pos, bw) : run_score(q, qs, t_pos, bw);
     if (do_tb) {
       build_traceback(qs, t_pos, bw, r);
       have_tb = true;
@@ -520,6 +735,7 @@ struct Engine {
   double valid_frac;
   int64_t pe_min, pe_max;
   std::string out;
+  std::string err;
   std::vector<struct Worker *> workers;
   struct SEPhase *se_phase = nullptr;
   struct PEPhase *pe_phase = nullptr;
@@ -533,6 +749,10 @@ struct Worker {
   std::vector<int32_t> mem_scr1;
   std::string out;
   int64_t st[18];
+  // stage ns: seed, align, format, parse; then align-call histogram:
+  // n_score_calls, sum_cells, n_tb_calls, sum_bw, cells at bw<16,
+  // cells at bw in [16,32), spare x2
+  int64_t tns[12] = {0};
   std::vector<uint8_t> buf[8];   // read encodings
   std::vector<uint8_t> rcbuf[2]; // raw revcomp ASCII
   std::vector<uint64_t> packed;  // packed read for native seeding
@@ -541,6 +761,7 @@ struct Worker {
   explicit Worker(const uint8_t *gnib)
       : aln(gnib), mem_scr1(PE_MAX_LARGE, 0) {
     std::memset(st, 0, sizeof(st));
+    aln.stat = tns;
   }
 };
 
@@ -591,6 +812,26 @@ inline int32_t full_compare(const Engine &E, const uint64_t *packed,
                             int n_words, uint32_t pos) {
   const int64_t w = pos >> 4;
   const uint64_t sh = (uint64_t)(pos & 15) * 4;
+#if defined(__AVX512VPOPCNTDQ__)
+  // 8 genome words per iteration: shifted-window merge, AND with the
+  // packed read, lane popcounts; masked loads handle the tail
+  const __m512i vsh = _mm512_set1_epi64((long long)sh);
+  const __m512i vshl = _mm512_set1_epi64((long long)(63 - sh));
+  __m512i acc = _mm512_setzero_si512();
+  for (int j = 0; j < n_words; j += 8) {
+    const __mmask8 k =
+      (__mmask8)((1u << std::min(8, n_words - j)) - 1);
+    const __m512i g1 = _mm512_maskz_loadu_epi64(k, E.gwords + w + j);
+    const __m512i g2 = _mm512_maskz_loadu_epi64(k, E.gwords + w + j + 1);
+    const __m512i merged =
+      _mm512_or_si512(_mm512_srlv_epi64(g1, vsh),
+                      _mm512_slli_epi64(_mm512_sllv_epi64(g2, vshl), 1));
+    const __m512i pr = _mm512_maskz_loadu_epi64(k, packed + j);
+    acc = _mm512_add_epi64(
+      acc, _mm512_popcnt_epi64(_mm512_and_si512(pr, merged)));
+  }
+  return 16 * n_words - (int32_t)_mm512_reduce_add_epi64(acc);
+#else
   int32_t d = 0;
   for (int j = 0; j < n_words; ++j) {
     const uint64_t g1 = E.gwords[w + j];
@@ -599,6 +840,7 @@ inline int32_t full_compare(const Engine &E, const uint64_t *packed,
     d += 16 - __builtin_popcountll(packed[j] & merged);
   }
   return d;
+#endif
 }
 
 template <class Cand>
@@ -606,12 +848,16 @@ void check_hits(const Engine &E, const uint64_t *packed, int n_words,
                 int offset, const uint32_t *bucket, int64_t cnt, uint32_t sc,
                 Cand &res) {
   // compare candidates in bucket order and feed the candidate set
-  // (abismal.cpp:1124-1150)
+  // (abismal.cpp:1124-1150); genome windows of upcoming candidates are
+  // prefetched like the reference's SSE prefetch (abismal.cpp:1134-1137)
   if (cnt == 0 || res.sure_ambig)
     return;
   for (int64_t i = 0; i < cnt; ++i) {
     if (res.sure_ambig)
       break;
+    if (i + 8 < cnt)
+      __builtin_prefetch(
+        E.gwords + (((uint64_t)(bucket[i + 8] - (uint32_t)offset)) >> 4));
     const uint32_t pos = bucket[i] - (uint32_t)offset;
     const int32_t d = full_compare(E, packed, n_words, pos);
     if (d <= res.cutoff)
@@ -1086,9 +1332,16 @@ void map_one_se(const Engine &E, Worker &w, const Events &ev, int64_t ri,
   cig.clear();
   if (len) {
     const uint8_t *enc[4];
-    se_seed_read(E, w, ev, ri, read, len, a_rich_mode, random_pbat, enc);
-    align_se_candidates(enc[0], enc[1], enc[2], enc[3], len, E.valid_frac,
-                        w.se, w, best, cig);
+    {
+      StageTimer t(w.tns + 0);
+      se_seed_read(E, w, ev, ri, read, len, a_rich_mode, random_pbat, enc);
+    }
+    {
+      StageTimer t(w.tns + 1);
+      align_se_candidates(enc[0], enc[1], enc[2], enc[3], len, E.valid_frac,
+                          w.se, w, best, cig);
+    }
+    StageTimer t(w.tns + 2);
     const int map_type =
       format_se(E, best, cig, name, name_len, read, len, w.out);
     if (map_type == MAP_UNMAPPED) {
@@ -2214,5 +2467,426 @@ engine_pe_phase2(void *eng, const int32_t *scores, int n_threads,
 }  // extern "C"
 
 const char *engine_out_ptr(void *eng) { return ((Engine *)eng)->out.data(); }
+
+}  // extern "C"
+
+// ===========================================================================
+// streaming full-native mapping loop: FASTQ(.gz) -> map -> ordered SAM.
+//
+// This is the TPU-framework equivalent of the reference's `runner`
+// (abismal.cpp:2187-2263): N worker threads claim read batches under a
+// read mutex, map them lock-free, and emit records under a write mutex --
+// except output here is ordered by batch sequence number (condition
+// variable hand-off), so the result is byte-identical at any thread
+// count, where the reference is nondeterministic for -t > 1.  Parsing
+// (with the reference's read-cleaning rules, abismal.cpp:164-201) and SAM
+// writing both live inside this loop, so no Python runs per read.
+// ===========================================================================
+namespace {
+
+// buffered line reader over gzFile (plain files read transparently)
+struct GzLines {
+  gzFile f = nullptr;
+  std::vector<char> buf;
+  int64_t pos = 0, len = 0;
+  bool hit_eof = false;
+  int64_t line_no = 0;  // 0-based count of lines consumed
+
+  explicit GzLines(const char *path) {
+    f = gzopen(path, "rb");
+    if (f) {
+      gzbuffer(f, 1 << 20);
+      buf.resize(1 << 22);
+    }
+  }
+  ~GzLines() {
+    if (f)
+      gzclose(f);
+  }
+  bool ok() const { return f != nullptr; }
+
+  // appends the next line (no '\n') to out; false at EOF with nothing read
+  bool next_line(std::string &out) {
+    out.clear();
+    for (;;) {
+      if (pos >= len) {
+        if (hit_eof)
+          return !out.empty();
+        len = gzread(f, buf.data(), (unsigned)buf.size());
+        pos = 0;
+        if (len <= 0) {
+          hit_eof = true;
+          len = 0;
+          if (out.empty())
+            return false;
+          ++line_no;
+          return true;
+        }
+      }
+      const char *base = buf.data() + pos;
+      const char *nl = (const char *)memchr(base, '\n', len - pos);
+      if (nl) {
+        out.append(base, nl - base);
+        pos += (nl - base) + 1;
+        ++line_no;
+        return true;
+      }
+      out.append(base, len - pos);
+      pos = len;
+    }
+  }
+  int64_t byte_pos() const { return f ? (int64_t)gzoffset(f) : 0; }
+};
+
+struct StreamBatch {
+  std::string rblob, nblob;
+  std::vector<int64_t> roffs, noffs;
+  int64_t n = 0;
+  int max_len = 1;
+};
+
+// one FASTQ record batch with the reference cleaning rules
+// (io/fastq.py clean_read; abismal.cpp:164-201).  0 = ok, -1 = error.
+int parse_batch(GzLines &in, const char *path, int64_t batch_size,
+                StreamBatch &b, std::string &err) {
+  b.rblob.clear();
+  b.nblob.clear();
+  b.roffs.assign(1, 0);
+  b.noffs.assign(1, 0);
+  b.n = 0;
+  b.max_len = 1;
+  std::string line, seq;
+  for (int64_t k = 0; k < batch_size; ++k) {
+    const int64_t hline = in.line_no;
+    if (!in.next_line(line))
+      break;
+    if (line.empty()) {
+      err = "file " + std::string(path) +
+            " contains an empty read name at line " + std::to_string(hline);
+      return -1;
+    }
+    size_t cut = line.size() - 1;
+    for (size_t i = 1; i < line.size(); ++i)
+      if (line[i] == ' ' || line[i] == '\t') {
+        cut = i - 1;
+        break;
+      }
+    b.nblob.append(line, 1, cut);
+    b.noffs.push_back((int64_t)b.nblob.size());
+    if (!in.next_line(seq))
+      seq.clear();
+    in.next_line(line);  // '+'
+    in.next_line(line);  // quality
+    if ((int64_t)seq.size() >= 32767) {
+      err = "found a read of size " + std::to_string(seq.size()) +
+            ", which is too long. Maximum allowed read size = 32767";
+      return -1;
+    }
+    int64_t informative = 0;
+    for (char c : seq)
+      informative += (c != 'N');
+    if (informative < MIN_READ_LENGTH)
+      seq.clear();
+    else {
+      size_t e = seq.size();
+      while (e && seq[e - 1] == 'N')
+        --e;
+      size_t s = 0;
+      while (s < e && seq[s] != 'A' && seq[s] != 'C' && seq[s] != 'G' &&
+             seq[s] != 'T')
+        ++s;
+      if (s == e) {
+        err = "read has no ACGT bases after trimming";
+        return -1;
+      }
+      if (s || e != seq.size())
+        seq = seq.substr(s, e - s);
+    }
+    b.rblob += seq;
+    b.roffs.push_back((int64_t)b.rblob.size());
+    b.max_len = std::max<int64_t>(b.max_len, (int64_t)seq.size());
+    ++b.n;
+  }
+  return 0;
+}
+
+struct StreamCtl {
+  std::mutex read_mtx, write_mtx;
+  std::condition_variable cv;
+  int64_t next_seq = 0, next_write = 0;
+  bool done = false, failed = false;
+  std::string err;
+  int64_t n_reads = 0;
+  FILE *out = nullptr;
+  // progress
+  bool tty = false;
+  int verbose = 0;
+  int64_t total_bytes = 1;
+  int prev_pct = 0;
+  int bar_width = 72 - 13 - 3 - 5;
+};
+
+void stream_progress(StreamCtl &C, int64_t bpos) {
+  if (!C.verbose)
+    return;
+  if (!C.tty) {
+    fprintf(stderr, "[mapped %lld reads]\n", (long long)C.n_reads);
+    return;
+  }
+  const int64_t j = std::min(bpos, C.total_bytes);
+  const int pct = (int)(100.0 * j / C.total_bytes + 0.5);
+  if (pct <= C.prev_pct)
+    return;
+  C.prev_pct = pct;
+  const int x =
+    std::min((int)(C.bar_width * (C.prev_pct / 100.0)), C.bar_width);
+  std::string bar(x, '=');
+  bar.append(C.bar_width - x, ' ');
+  fprintf(stderr, "\r[mapping reads|%s|%3d%%]", bar.c_str(), C.prev_pct);
+  if (j >= C.total_bytes)
+    fprintf(stderr, "\n");
+  fflush(stderr);
+}
+
+void stream_init(Engine &E, StreamCtl &C, const char *fq1, FILE *out,
+                 int n_threads, int verbose) {
+  C.out = out;
+  C.verbose = verbose;
+  C.tty = verbose && isatty(2);
+  struct stat st;
+  if (stat(fq1, &st) == 0)
+    C.total_bytes = std::max<int64_t>(1, (int64_t)st.st_size);
+  for (int t = 0; t < n_threads; ++t)
+    get_worker(E, t);
+  for (auto *w : E.workers) {
+    std::memset(w->st, 0, sizeof(w->st));
+    w->out.clear();
+  }
+}
+
+}  // namespace
+
+extern "C" {
+
+const char *engine_error_ptr(void *eng) { return ((Engine *)eng)->err.c_str(); }
+
+// stage profiling: out4 = summed ns {seed, align, format, parse} across
+// workers (see StageTimer); reset clears the counters
+void engine_set_profile(void *eng, int on) {
+  (void)eng;
+  g_profile = on != 0;
+}
+
+void engine_stage_ns(void *eng, int64_t *out12, int reset) {
+  Engine &E = *(Engine *)eng;
+  for (int i = 0; i < 12; ++i)
+    out12[i] = 0;
+  for (auto *w : E.workers)
+    for (int i = 0; i < 12; ++i) {
+      out12[i] += w->tns[i];
+      if (reset)
+        w->tns[i] = 0;
+    }
+}
+
+// Full SE mapping run: parses fq_path, maps with n_threads workers, writes
+// header + records to out_path in read order.  Returns total reads
+// processed, or -1 with the message in engine_error_ptr().
+int64_t engine_run_se(void *eng, const char *fq_path, const char *out_path,
+                      const uint8_t *header, int64_t header_len,
+                      int a_rich_mode, int random_pbat, int64_t batch_size,
+                      int n_threads, int64_t *stats_out, int verbose) {
+  Engine &E = *(Engine *)eng;
+  E.err.clear();
+  GzLines in(fq_path);
+  if (!in.ok()) {
+    E.err = std::string("cannot open file: ") + fq_path;
+    return -1;
+  }
+  FILE *out = fopen(out_path, "w");
+  if (!out) {
+    E.err = std::string("cannot open output file: ") + out_path;
+    return -1;
+  }
+  fwrite(header, 1, header_len, out);
+  n_threads = std::max(1, n_threads);
+  StreamCtl C;
+  stream_init(E, C, fq_path, out, n_threads, verbose);
+  const Events ev{};
+
+  std::vector<std::thread> ts;
+  for (int t = 0; t < n_threads; ++t) {
+    Worker *wp = E.workers[t];
+    ts.emplace_back([&, wp]() {
+      Worker &w = *wp;
+      StreamBatch b;
+      for (;;) {
+        int64_t my_seq;
+        int64_t bpos = 0;
+        {
+          std::lock_guard<std::mutex> lk(C.read_mtx);
+          if (C.done || C.failed)
+            break;
+          my_seq = C.next_seq++;
+          std::string err;
+          int prc;
+          {
+            StageTimer pt(w.tns + 3);
+            prc = parse_batch(in, fq_path, batch_size, b, err);
+          }
+          if (prc != 0) {
+            C.failed = true;
+            C.err = err;
+          }
+          else if (b.n == 0)
+            C.done = true;
+          bpos = in.byte_pos();
+        }
+        w.out.clear();
+        if (!C.failed && b.n) {
+          w.aln.reset(b.max_len);
+          const uint8_t *rb = (const uint8_t *)b.rblob.data();
+          const uint8_t *nb = (const uint8_t *)b.nblob.data();
+          for (int64_t ri = 0; ri < b.n; ++ri)
+            map_one_se(E, w, ev, ri, nb + b.noffs[ri],
+                       b.noffs[ri + 1] - b.noffs[ri], rb + b.roffs[ri],
+                       (int)(b.roffs[ri + 1] - b.roffs[ri]),
+                       a_rich_mode != 0, random_pbat != 0);
+        }
+        {
+          std::unique_lock<std::mutex> lk(C.write_mtx);
+          C.cv.wait(lk, [&] { return C.next_write == my_seq; });
+          if (!C.failed && b.n) {
+            fwrite(w.out.data(), 1, w.out.size(), C.out);
+            C.n_reads += b.n;
+            stream_progress(C, bpos);
+          }
+          ++C.next_write;
+          C.cv.notify_all();
+        }
+      }
+    });
+  }
+  for (auto &t : ts)
+    t.join();
+  if (C.tty && C.prev_pct < 100) {
+    C.prev_pct = 99;  // force the 100% line
+    stream_progress(C, C.total_bytes);
+  }
+  fclose(out);
+  if (C.failed) {
+    E.err = C.err;
+    return -1;
+  }
+  sum_stats(E, stats_out, 6);
+  return C.n_reads;
+}
+
+// Full PE mapping run; stats_out holds 18 counters (pair, end1, end2).
+int64_t engine_run_pe(void *eng, const char *fq1_path, const char *fq2_path,
+                      const char *out_path, const uint8_t *header,
+                      int64_t header_len, int a_rich_mode, int random_pbat,
+                      int64_t batch_size, int n_threads, int64_t *stats_out,
+                      int verbose) {
+  Engine &E = *(Engine *)eng;
+  E.err.clear();
+  GzLines in1(fq1_path), in2(fq2_path);
+  if (!in1.ok() || !in2.ok()) {
+    E.err = std::string("cannot open file: ") +
+            (in1.ok() ? fq2_path : fq1_path);
+    return -1;
+  }
+  FILE *out = fopen(out_path, "w");
+  if (!out) {
+    E.err = std::string("cannot open output file: ") + out_path;
+    return -1;
+  }
+  fwrite(header, 1, header_len, out);
+  n_threads = std::max(1, n_threads);
+  StreamCtl C;
+  stream_init(E, C, fq1_path, out, n_threads, verbose);
+  const Events ev{};
+
+  std::vector<std::thread> ts;
+  for (int t = 0; t < n_threads; ++t) {
+    Worker *wp = E.workers[t];
+    ts.emplace_back([&, wp]() {
+      Worker &w = *wp;
+      StreamBatch b1, b2;
+      for (;;) {
+        int64_t my_seq;
+        int64_t bpos = 0;
+        {
+          std::lock_guard<std::mutex> lk(C.read_mtx);
+          if (C.done || C.failed)
+            break;
+          my_seq = C.next_seq++;
+          std::string err;
+          int prc;
+          {
+            StageTimer pt(w.tns + 3);
+            prc = (parse_batch(in1, fq1_path, batch_size, b1, err) != 0 ||
+                   parse_batch(in2, fq2_path, batch_size, b2, err) != 0);
+          }
+          if (prc) {
+            C.failed = true;
+            C.err = err;
+          }
+          else if (b1.n != b2.n) {
+            C.failed = true;
+            C.err = "paired-end batch sizes differ. Batch 1: " +
+                    std::to_string(b1.n) +
+                    ", Batch 2: " + std::to_string(b2.n) +
+                    ". Are you sure your paired-end inputs have the same "
+                    "number of reads?";
+          }
+          else if (b1.n == 0)
+            C.done = true;
+          bpos = in1.byte_pos();
+        }
+        w.out.clear();
+        if (!C.failed && b1.n) {
+          w.aln.reset(std::max(b1.max_len, b2.max_len));
+          const uint8_t *r1 = (const uint8_t *)b1.rblob.data();
+          const uint8_t *n1 = (const uint8_t *)b1.nblob.data();
+          const uint8_t *r2 = (const uint8_t *)b2.rblob.data();
+          const uint8_t *n2 = (const uint8_t *)b2.nblob.data();
+          for (int64_t ri = 0; ri < b1.n; ++ri)
+            map_one_pe(E, w, ev, ri, n1 + b1.noffs[ri],
+                       b1.noffs[ri + 1] - b1.noffs[ri], r1 + b1.roffs[ri],
+                       (int)(b1.roffs[ri + 1] - b1.roffs[ri]),
+                       n2 + b2.noffs[ri], b2.noffs[ri + 1] - b2.noffs[ri],
+                       r2 + b2.roffs[ri],
+                       (int)(b2.roffs[ri + 1] - b2.roffs[ri]),
+                       a_rich_mode != 0, random_pbat != 0);
+        }
+        {
+          std::unique_lock<std::mutex> lk(C.write_mtx);
+          C.cv.wait(lk, [&] { return C.next_write == my_seq; });
+          if (!C.failed && b1.n) {
+            fwrite(w.out.data(), 1, w.out.size(), C.out);
+            C.n_reads += b1.n;
+            stream_progress(C, bpos);
+          }
+          ++C.next_write;
+          C.cv.notify_all();
+        }
+      }
+    });
+  }
+  for (auto &t : ts)
+    t.join();
+  if (C.tty && C.prev_pct < 100) {
+    C.prev_pct = 99;
+    stream_progress(C, C.total_bytes);
+  }
+  fclose(out);
+  if (C.failed) {
+    E.err = C.err;
+    return -1;
+  }
+  sum_stats(E, stats_out, 18);
+  return C.n_reads;
+}
 
 }  // extern "C"
