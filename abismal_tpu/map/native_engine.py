@@ -299,8 +299,11 @@ def run_map_pipelined(engine, index, reads_file1, reads_file2, out_path,
     # fully-native loop: for SAM-text output from the pure-native engine,
     # the whole read->map->write stream runs inside the C++ library
     if not bam and getattr(engine, "supports_streaming", False):
+        import sys as _sys
         import time as _t
 
+        if verbose:
+            engine.lib.engine_set_profile(engine._ctx, 1)
         start = _t.monotonic()
         stats = PEStats() if paired else SEStats()
         a_rich_mode = (pbat if paired else (a_rich or pbat))
@@ -309,10 +312,14 @@ def run_map_pipelined(engine, index, reads_file1, reads_file2, out_path,
             make_sam_header(index.cl, command_line), a_rich_mode,
             random_pbat, stats, verbose=verbose)
         if verbose:
-            import sys as _sys
-
-            print(f"[total mapping time: {_t.monotonic() - start:.2f}s]",
-                  file=_sys.stderr)
+            total = _t.monotonic() - start
+            ns = np.zeros(12, dtype=np.int64)
+            engine.lib.engine_stage_ns(engine._ctx, _ptr(ns), 1)
+            cpu = max(1, int(ns[:4].sum()))
+            for name, v in zip(("seed", "align", "format", "parse"), ns[:4]):
+                print(f"[stage {name}: {v / 1e9:.2f}s cpu "
+                      f"({100 * int(v) // cpu}%)]", file=_sys.stderr)
+            print(f"[total mapping time: {total:.2f}s]", file=_sys.stderr)
         return stats
 
     depth = max(1, getattr(engine, "pipeline_depth", 1))
