@@ -152,6 +152,10 @@ def cmd_map(argv):
                    help="shard unit batches over N local devices with the "
                         "index replicated per chip (--engine tpu; "
                         "an integer or 'all')")
+    p.add_argument("--index-shards", dest="index_shards", default=None,
+                   help="shard the index position lists by bucket-key "
+                        "range over N local devices (TP layout; --engine "
+                        "tpu; an integer or 'all')")
     p.add_argument("reads_files", nargs="+")
     a = p.parse_args(argv)
 
@@ -196,9 +200,12 @@ def cmd_map(argv):
         mesh = a.mesh
         if mesh is not None and mesh != "all":
             mesh = int(mesh)
+        ishards = a.index_shards
+        if ishards is not None and ishards != "all":
+            ishards = int(ishards)
         engine_factory = make_tpu_native_engine_factory(
             lmax=a.lmax, n_threads=a.threads, mesh_devices=mesh,
-            device_align=a.device_align)
+            device_align=a.device_align, index_shards=ishards)
     elif a.engine == "tpu-replay":
         from .map.pipeline import make_tpu_engine_factory
 

@@ -120,9 +120,62 @@ class DeviceIndex:
         return (self.genome32, self.counter2, self.counter3, self.index_all)
 
 
+def _tp_key_bounds(counter: np.ndarray, n_shards: int) -> np.ndarray:
+    """Key-range boundaries (n_shards+1) splitting a bucket-offset prefix
+    array into shards of ~equal position count; every bucket lands on
+    exactly one shard."""
+    total = int(counter[-1])
+    targets = (np.arange(n_shards + 1, dtype=np.int64) * total) // n_shards
+    bounds = np.searchsorted(counter, targets, side="left").astype(np.int64)
+    bounds[0] = 0
+    bounds[-1] = counter.shape[0] - 1
+    return bounds
+
+
+class DeviceIndexTP:
+    """Key-range-sharded index tables (SURVEY 2.5 "TP option"): each shard
+    owns a contiguous key range of each of the three tables -- boundaries
+    chosen so position counts balance -- with the position lists sliced
+    per shard and the genome + counter tables replicated.  HBM per chip
+    for the (dominant) position lists drops to ~1/n_shards, and rebased
+    local offsets stay within i32 even when the global lists exceed 2^31
+    entries."""
+
+    def __init__(self, index, n_shards: int):
+        self.n_shards = n_shards
+        self.genome32 = pack_genome_u32(index.genome_words)
+        self.counter2_np = index.counter.astype(np.int32)
+        self.counter3_np = np.concatenate(
+            [index.counter_t, index.counter_a]).astype(np.int32)
+        b2 = _tp_key_bounds(index.counter, n_shards)
+        bt = _tp_key_bounds(index.counter_t, n_shards)
+        ba = _tp_key_bounds(index.counter_a, n_shards)
+        c2, ct, ca = index.counter, index.counter_t, index.counter_a
+        p2 = [int(c2[b2[s]]) for s in range(n_shards + 1)]
+        pt = [int(ct[bt[s]]) for s in range(n_shards + 1)]
+        pa = [int(ca[ba[s]]) for s in range(n_shards + 1)]
+        self.P2 = max(1, max(p2[s + 1] - p2[s] for s in range(n_shards)))
+        self.P3 = max(1, max(max(pt[s + 1] - pt[s], pa[s + 1] - pa[s])
+                             for s in range(n_shards)))
+        L = self.P2 + 2 * self.P3
+        self.index_local = np.zeros((n_shards, L), dtype=np.int32)
+        self.shardinfo = np.zeros((n_shards, 9), dtype=np.int32)
+        for s in range(n_shards):
+            i2 = index.index[p2[s] : p2[s + 1]]
+            it = index.index_t[pt[s] : pt[s + 1]]
+            ia = index.index_a[pa[s] : pa[s + 1]]
+            self.index_local[s, : i2.shape[0]] = i2
+            self.index_local[s, self.P2 : self.P2 + it.shape[0]] = it
+            self.index_local[s, self.P2 + self.P3
+                             : self.P2 + self.P3 + ia.shape[0]] = ia
+            self.shardinfo[s] = [b2[s], b2[s + 1], bt[s], bt[s + 1],
+                                 ba[s], ba[s + 1], p2[s], pt[s], pa[s]]
+        self.max_candidates = int(index.max_candidates)
+
+
 def build_stage1(lmax: int, max_candidates: int, n_index2: int,
                  n_index3: int, cand_per_unit: int | None = None,
-                 gcap_per_unit: int | None = None):
+                 gcap_per_unit: int | None = None, tp: bool = False):
     """Builds the jitted stage-1 function for a given padded read length.
 
     v2 design -- offset-parallel, compaction before compare:
@@ -152,7 +205,7 @@ def build_stage1(lmax: int, max_candidates: int, n_index2: int,
     gcap_per_unit = int(os.environ.get("ABISMAL_TPU_GCAP_PER_UNIT",
                                        gcap_per_unit))
     memo_key = (lmax, max_candidates, n_index2, n_index3, cand_per_unit,
-                gcap_per_unit)
+                gcap_per_unit, tp)
     if memo_key in _stage1_memo:
         return _stage1_memo[memo_key]
     jax, jnp = _jm()
@@ -179,7 +232,7 @@ def build_stage1(lmax: int, max_candidates: int, n_index2: int,
         return (word >> ((pos & np.uint32(7)) * np.uint32(4))) & np.uint32(0xF)
 
     def stage1(genome32, counter2, counter3, index_all, pnib, lens,
-               is_ga, thr):
+               is_ga, thr, shard=None):
         """pnib: (B, (lmax+32)/2) u8 with two read nibbles per byte (base i
         in nibble i&1 of byte i>>1); lens: (B,) i32; is_ga: (B,) bool; thr:
         (B,) i32 = floor(0.4*len).  Unpacking, word packing and word masks
@@ -187,10 +240,26 @@ def build_stage1(lmax: int, max_candidates: int, n_index2: int,
         uploads half a byte per base, because the host<->device link is
         the system bottleneck, not device compute.
 
+        In tp mode (key-range-sharded index; SURVEY 2.5 "TP option"),
+        `index_all` is this shard's slice [idx2|idx3t|idx3a] padded to
+        (n_index2 + 2*n_index3) and `shard` is i32[9]: key bounds
+        [k2lo,k2hi,k3tlo,k3thi,k3alo,k3ahi] plus position-list bases
+        [pb2,pb3t,pb3a]; cells whose key falls outside this shard's range
+        are masked off (each bucket lives on exactly one shard, so the
+        union of all shards' event streams, merged by rank, equals the
+        unsharded stream).  Bucket SIZES come from the replicated counter
+        tables, so specific/sensitive check policies are shard-invariant.
+
         Returns (gpos, gmeta, count, overflow): a global event stream
         (u32 positions and (diffs+512)<<22|rank), per-unit event counts,
         and per-unit host-fallback flags."""
         B = pnib.shape[0]
+        if tp:
+            k2lo, k2hi = shard[0], shard[1]
+            lo3u = jnp.where(is_ga, shard[4], shard[2])  # (B,) key bounds
+            hi3u = jnp.where(is_ga, shard[5], shard[3])
+            pb2 = shard[6]
+            pb3u = jnp.where(is_ga, shard[8], shard[7])  # (B,) list base
         gcap = B * GCAP_PER_UNIT
         gflat = B * CAND_PER_UNIT
         preads = jnp.stack(
@@ -235,13 +304,27 @@ def build_stage1(lmax: int, max_candidates: int, n_index2: int,
         # --- bucket ranges for all cells, fully parallel ---
         iof = jnp.arange(o_spec, dtype=jnp.int32)[None, :]
         act_sp = iof < specific_lim[:, None]
-        k2s = jnp.where(act_sp, k2_all[:, :o_spec], 0).astype(jnp.int32)
-        s2 = jnp.where(act_sp, counter2[k2s], 0)
-        e2 = jnp.where(act_sp, counter2[k2s + 1], 0)
-        k3s = (jnp.where(act_sp, k3_all[:, :o_spec], 0).astype(jnp.int32)
+        if tp:
+            k2r = k2_all[:, :o_spec].astype(jnp.int32)
+            k3r = k3_all[:, :o_spec].astype(jnp.int32)
+            act2_sp = act_sp & (k2r >= k2lo) & (k2r < k2hi)
+            act3_sp = act_sp & (k3r >= lo3u[:, None]) & (k3r < hi3u[:, None])
+        else:
+            act2_sp = act3_sp = act_sp
+        k2s = jnp.where(act2_sp, k2_all[:, :o_spec], 0).astype(jnp.int32)
+        s2 = jnp.where(act2_sp, counter2[k2s], 0)
+        e2 = jnp.where(act2_sp, counter2[k2s + 1], 0)
+        k3s = (jnp.where(act3_sp, k3_all[:, :o_spec], 0).astype(jnp.int32)
                + c3_base[:, None])
-        s3 = jnp.where(act_sp, counter3[k3s], 0)
-        e3 = jnp.where(act_sp, counter3[k3s + 1], 0)
+        s3 = jnp.where(act3_sp, counter3[k3s], 0)
+        e3 = jnp.where(act3_sp, counter3[k3s + 1], 0)
+        if tp:
+            # rebase into this shard's local position lists (masked cells
+            # collapse to the empty range [0, 0))
+            s2 = jnp.where(act2_sp, s2 - pb2, 0)
+            e2 = jnp.where(act2_sp, e2 - pb2, 0)
+            s3 = jnp.where(act3_sp, s3 - pb3u[:, None], 0)
+            e3 = jnp.where(act3_sp, e3 - pb3u[:, None], 0)
 
         # --- vectorized seed extension over (B * o_spec) lanes ---
         stride = preads.shape[1]
@@ -373,26 +456,44 @@ def build_stage1(lmax: int, max_candidates: int, n_index2: int,
 
         d2 = e2x - s2x
         d3 = e3x - s3x
-        check2_sp = act_sp & ((d2 <= max_candidates)
-                              | (l2 >= specific_len[:, None]))
-        check3_sp = act_sp & ((d3 <= max_candidates)
-                              | (l3 >= specific_len[:, None]))
+        check2_sp = act2_sp & ((d2 <= max_candidates)
+                               | (l2 >= specific_len[:, None]))
+        check3_sp = act3_sp & ((d3 <= max_candidates)
+                               | (l3 >= specific_len[:, None]))
 
         # --- sensitive-phase cells (no extension) ---
         jof = jnp.arange(o_sens, dtype=jnp.int32)[None, :]
         act_sn = (jof < sens_lim[:, None]) & (lens[:, None] > 0)
+        if tp:
+            k2rn = k2_all.astype(jnp.int32)
+            k3rn = k3_all.astype(jnp.int32)
+            act2_sn = act_sn & (k2rn >= k2lo) & (k2rn < k2hi)
+            act3_sn = act_sn & (k3rn >= lo3u[:, None]) & (
+                k3rn < hi3u[:, None])
+        else:
+            act2_sn = act3_sn = act_sn
+        # bucket SIZES are masked by act_sn only (they must be the GLOBAL
+        # sizes on every shard: the 2-vs-3-letter fold rule below compares
+        # across tables, and in tp mode a shard can own the 2-letter bucket
+        # without owning the 3-letter one); list OFFSETS are additionally
+        # masked by shard ownership and rebased
         k2n = jnp.where(act_sn, k2_all, 0).astype(jnp.int32)
-        s2n = jnp.where(act_sn, counter2[k2n], 0)
-        e2n = jnp.where(act_sn, counter2[k2n + 1], 0)
-        d2n = e2n - s2n
+        s2n_g = jnp.where(act_sn, counter2[k2n], 0)
+        e2n_g = jnp.where(act_sn, counter2[k2n + 1], 0)
+        d2n = e2n_g - s2n_g
         k3n = (jnp.where(act_sn, k3_all, 0).astype(jnp.int32)
                + c3_base[:, None])
-        s3n = jnp.where(act_sn, counter3[k3n], 0)
-        e3n = jnp.where(act_sn, counter3[k3n + 1], 0)
-        d3n = e3n - s3n
-        check2_sn = act_sn & (d2n != 0) & (d2n <= max_candidates) & (
+        s3n_g = jnp.where(act_sn, counter3[k3n], 0)
+        e3n_g = jnp.where(act_sn, counter3[k3n + 1], 0)
+        d3n = e3n_g - s3n_g
+        if tp:
+            s2n = jnp.where(act2_sn, s2n_g - pb2, 0)
+            s3n = jnp.where(act3_sn, s3n_g - pb3u[:, None], 0)
+        else:
+            s2n, s3n = s2n_g, s3n_g
+        check2_sn = act2_sn & (d2n != 0) & (d2n <= max_candidates) & (
             (d3n == 0) | (d2n <= MIN_FOLD_SIZE * d3n))
-        check3_sn = act_sn & (d3n != 0) & (d3n <= max_candidates)
+        check3_sn = act3_sn & (d3n != 0) & (d3n <= max_candidates)
 
         # --- per-cell counts and global start offsets, rank order ---
         def interleave(a, b):
@@ -706,6 +807,48 @@ class TpuMappingEngine(MappingEngine):
         replay_events(res, sc, ev_pos, ev_diffs, ev_rank, c, self.o_spec)
 
 
+def _merge_tp_streams(ev: np.ndarray, cf: np.ndarray):
+    """Merges the per-shard event streams of a sharded-index stage-1 call.
+
+    ev: (2*n_shards, gcap) -- rows (2s, 2s+1) are shard s's compacted
+    (pos, meta) stream; cf: (n_shards, B) count|overflow words, every
+    shard covering the full unit batch.  Returns the rank-merged stream
+    (pos, diffs, rank) plus per-unit (start, count, overflow).  A unit
+    flagged overflow on ANY shard falls back to native re-seeding (its
+    per-shard offsets may point past that shard's truncated stream)."""
+    n_sh = cf.shape[0]
+    B = cf.shape[1]
+    cnt2d = (cf & 0x3FFFFFFF).astype(np.int64)
+    ovf = ((cf >> 30) != 0).any(axis=0)
+    within = np.cumsum(cnt2d, axis=1) - cnt2d
+    take = np.where(ovf[None, :], 0, cnt2d)
+    pos_cat, meta_cat, unit_cat = [], [], []
+    for s in range(n_sh):
+        c = take[s]
+        total = int(c.sum())
+        if total == 0:
+            continue
+        intra = np.arange(total, dtype=np.int64) - np.repeat(
+            np.cumsum(c) - c, c)
+        src = np.repeat(within[s], c) + intra
+        pos_cat.append(ev[2 * s][src])
+        meta_cat.append(ev[2 * s + 1][src])
+        unit_cat.append(np.repeat(np.arange(B, dtype=np.int64), c))
+    m_cnt = take.sum(axis=0)
+    m_start = np.cumsum(m_cnt) - m_cnt
+    if not pos_cat:
+        return (np.zeros(0, np.uint32), np.zeros(0, np.int32),
+                np.zeros(0, np.int32), m_start, m_cnt, ovf)
+    pos_all = np.concatenate(pos_cat)
+    meta_all = np.concatenate(meta_cat)
+    unit_all = np.concatenate(unit_cat)
+    rank_all = (meta_all & 0x3FFFFF).astype(np.int32)
+    order = np.lexsort((rank_all, unit_all))
+    return (pos_all[order],
+            (meta_all[order] >> 22).astype(np.int32) - 512,
+            rank_all[order], m_start, m_cnt, ovf)
+
+
 class TpuNativeEngine:
     """Flagship engine: device stage-1 candidate generation feeding the
     native batched decide/align/format stage (_engine.cpp).
@@ -724,18 +867,50 @@ class TpuNativeEngine:
                  pe_min_dist=32, pe_max_dist=3000, lmax: int = 128,
                  unit_batch: int = 2048, n_threads: int = 1,
                  device_put=None, mesh_devices=None, device_align=None,
-                 align_jcap: int = 8192):
+                 align_jcap: int = 8192, index_shards=None):
         from .native_engine import NativeMappingEngine
 
+        if mesh_devices and index_shards:
+            raise ValueError(
+                "mesh_devices (data parallel) and index_shards (sharded "
+                "index) are alternative mesh layouts; pick one")
         self.native = NativeMappingEngine(index, allow_ambig, valid_frac,
                                           pe_min_dist, pe_max_dist,
                                           n_threads=n_threads)
         self.lmax = lmax
         self.unit_batch = unit_batch
-        self.dev = DeviceIndex(index, device_put)
-        self.stage1, self.o_spec = build_stage1(
-            lmax, self.dev.max_candidates, self.dev.n_index2,
-            self.dev.n_index3)
+        self.index_shards = 0
+        if index_shards:
+            # key-range-sharded index over the mesh (SURVEY 2.5 TP option):
+            # position lists sharded, genome/counters replicated, unit
+            # batch replicated; host merges the per-shard event streams
+            from ..parallel.mesh import make_mesh, shard_stage1_tp
+
+            import jax
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            tp_mesh = make_mesh(
+                None if index_shards == "all" else int(index_shards))
+            self.index_shards = int(tp_mesh.devices.size)
+            tp = DeviceIndexTP(index, self.index_shards)
+            self.dev = None
+            self.stage1, self.o_spec = build_stage1(
+                lmax, tp.max_candidates, tp.P2, tp.P3, tp=True)
+            rep = NamedSharding(tp_mesh, P())
+            shd = NamedSharding(tp_mesh, P("data"))
+            self._tables_tp = (
+                jax.device_put(tp.genome32, rep),
+                jax.device_put(tp.counter2_np, rep),
+                jax.device_put(tp.counter3_np, rep),
+                jax.device_put(tp.index_local, shd),
+                jax.device_put(tp.shardinfo, shd),
+            )
+            self._stage1_tp = shard_stage1_tp(self.stage1, tp_mesh)
+        else:
+            self.dev = DeviceIndex(index, device_put)
+            self.stage1, self.o_spec = build_stage1(
+                lmax, self.dev.max_candidates, self.dev.n_index2,
+                self.dev.n_index3)
         self.n_fallback = 0
         self.n_units = 0
         self._pool = None  # collector threads (created lazily)
@@ -754,7 +929,8 @@ class TpuNativeEngine:
         if device_align is None:
             device_align = bool(int(os.environ.get(
                 "ABISMAL_TPU_DEVICE_ALIGN", "0")))
-        self.device_align = bool(device_align) and not mesh_devices
+        self.device_align = (bool(device_align) and not mesh_devices
+                             and not index_shards)
         self.align_jcap = align_jcap
         self._align_prog = None
         self._unit_loc = None
@@ -779,6 +955,11 @@ class TpuNativeEngine:
             self._stage1_sharded = shard_stage1(self.stage1, self.mesh)
 
     def _stage1_call(self, preads, lens, is_ga, thr):
+        if self.index_shards:
+            # sharded-index streams: ev rows (2s, 2s+1) per shard, cf is
+            # (n_shards, B) -- every shard covers the full unit batch
+            return self._stage1_tp(*self._tables_tp, preads, lens, is_ga,
+                                   thr)
         if self.mesh is None:
             return self.stage1(*self.dev.tables(), preads, lens, is_ga, thr)
         ev, cf, _total = self._stage1_sharded(
@@ -876,6 +1057,30 @@ class TpuNativeEngine:
         for ci, (chunk, (ev_dev, cf_dev), _pn) in enumerate(pending):
             ev = np.asarray(ev_dev)
             cf = np.asarray(cf_dev)
+            if self.index_shards:
+                # sharded-index mode: every shard emitted events for ALL
+                # units; merge the per-shard streams by rank (exact: each
+                # bucket lives on one shard, so rank order == the unsharded
+                # discovery order)
+                m_pos, m_diff, m_rank, m_start, m_cnt, m_ovf = \
+                    _merge_tp_streams(ev, cf)
+                pos_parts.append(m_pos)
+                diff_parts.append(m_diff)
+                rank_parts.append(m_rank)
+                n_fb = 0
+                for i, u in enumerate(chunk):
+                    unit_chunk[u[0]] = ci
+                    unit_row[u[0]] = i
+                    if m_ovf[i]:
+                        n_fb += 1
+                    else:
+                        start[u[0]] = base + m_start[i]
+                        count[u[0]] = m_cnt[i]
+                with self._counter_lock:
+                    self.n_units += len(chunk)
+                    self.n_fallback += n_fb
+                base += int(m_pos.shape[0])
+                continue
             cnt = (cf & 0x3FFFFFFF).astype(np.int64)
             overflow = (cf >> 30) != 0
             # sharded results stack each shard's (pos, meta) rows along
@@ -1083,16 +1288,20 @@ def make_native_engine_factory(n_threads: int = 1):
 
 def make_tpu_native_engine_factory(lmax: int = 128, unit_batch: int = 2048,
                                    n_threads: int = 1, mesh_devices=None,
-                                   device_align=None, align_jcap: int = 8192):
+                                   device_align=None, align_jcap: int = 8192,
+                                   index_shards=None):
     """Flagship: device stage-1 + native stage-2, memoized per index.
     mesh_devices="all" (or an int) shards unit batches over the local
-    device mesh with the index replicated per chip.  device_align=True
+    device mesh with the index replicated per chip; index_shards="all"
+    (or an int) instead shards the index position lists by key range
+    (TP option) with the unit batch replicated.  device_align=True
     scores candidate alignments on the device too (None = env default)."""
 
     def factory(index, allow_ambig, valid_frac, pe_min_dist, pe_max_dist):
         key = ("tpu-native", id(index), int(index.max_candidates),
                allow_ambig, valid_frac, pe_min_dist, pe_max_dist, lmax,
-               unit_batch, mesh_devices, device_align, align_jcap)
+               unit_batch, mesh_devices, device_align, align_jcap,
+               index_shards)
         hit = _engine_memo.get(key)
         if hit is not None and hit[0] is index:
             hit[1].n_threads = n_threads
@@ -1101,7 +1310,8 @@ def make_tpu_native_engine_factory(lmax: int = 128, unit_batch: int = 2048,
                               pe_max_dist, lmax=lmax, unit_batch=unit_batch,
                               n_threads=n_threads, mesh_devices=mesh_devices,
                               device_align=device_align,
-                              align_jcap=align_jcap)
+                              align_jcap=align_jcap,
+                              index_shards=index_shards)
         _engine_memo[key] = (index, eng)
         return eng
 

@@ -52,6 +52,41 @@ def shard_stage1(stage1, mesh):
     return jax.jit(wrapped)
 
 
+def shard_stage1_tp(stage1, mesh):
+    """Key-range-sharded index ("TP option", SURVEY 2.5): the position
+    lists are sharded across the mesh by bucket-key range, the genome and
+    counter tables are replicated, and the FULL unit batch is replicated
+    so every shard probes the buckets it owns.  Each shard emits its own
+    compacted event stream; streams are rank-merged on the host (each
+    bucket lives on exactly one shard, so the merge reproduces the
+    unsharded discovery order exactly)."""
+    import jax
+    from jax.sharding import PartitionSpec as P
+    from jax.experimental.shard_map import shard_map
+
+    rep = P()
+    sh = P("data")
+
+    def wrapped(genome32, counter2, counter3, index_local, shardinfo,
+                preads, lens, is_ga, thr):
+        def inner(genome32, counter2, counter3, index_local, shardinfo,
+                  preads, lens, is_ga, thr):
+            ev, cf = stage1(genome32, counter2, counter3, index_local[0],
+                            preads, lens, is_ga, thr, shard=shardinfo[0])
+            return ev, cf[None, :]
+
+        return shard_map(
+            inner, mesh=mesh,
+            in_specs=(rep, rep, rep, P("data", None), P("data", None),
+                      rep, rep, rep, rep),
+            out_specs=(P("data", None), P("data", None)),
+            check_rep=False,
+        )(genome32, counter2, counter3, index_local, shardinfo,
+          preads, lens, is_ga, thr)
+
+    return jax.jit(wrapped)
+
+
 def replicate_tables(dev_index, mesh):
     """Places the index tables with a replicated sharding over the mesh."""
     import jax

@@ -42,3 +42,74 @@ def test_mesh_mapping_byte_identical(tmp_path, trex1_index, prefix, paired):
                 unit_batch=128, n_threads=2, mesh_devices=8))
     assert sam.read_text() == _read_golden(prefix + ".sam")
     assert mstats.read_text() == _read_golden(prefix + ".mstats")
+
+
+@pytest.mark.parametrize("prefix,paired", [
+    ("small", False),
+    ("small_pe", True),
+])
+def test_sharded_index_mapping_byte_identical(tmp_path, trex1_index, prefix,
+                                              paired):
+    """TP layout (SURVEY 2.5 "TP option"): index position lists sharded by
+    bucket-key range over the 8-device mesh, unit batch replicated, event
+    streams rank-merged on the host -- output must stay byte-identical."""
+    import jax
+
+    if jax.device_count() < 8:
+        pytest.skip("needs the 8-device CPU mesh")
+    from abismal_tpu.map.engine import run_map
+    from abismal_tpu.map.pipeline import make_tpu_native_engine_factory
+
+    fq1 = golden_path(prefix + "_1.fq")
+    fq2 = golden_path(prefix + "_2.fq") if paired else None
+    tail = (f"tests/{prefix}_1.fq tests/{prefix}_2.fq" if paired
+            else f"tests/{prefix}_1.fq")
+    cl = (f"map -s tests/{prefix}.mstats -o tests/{prefix}.sam "
+          f"-i tests/tRex1.idx {tail}")
+    sam = tmp_path / "out.sam"
+    mstats = tmp_path / "out.mstats"
+    run_map(trex1_index, fq1, fq2, str(sam), str(mstats), cl,
+            engine_factory=make_tpu_native_engine_factory(
+                unit_batch=128, n_threads=2, index_shards=8))
+    assert sam.read_text() == _read_golden(prefix + ".sam")
+    assert mstats.read_text() == _read_golden(prefix + ".mstats")
+
+
+def test_sharded_index_stage1_equivalence(trex1_index):
+    """The rank-merged union of the per-shard event streams must equal the
+    unsharded stage-1 stream event for event (VERDICT r1 weak item 5)."""
+    import jax
+
+    if jax.device_count() < 8:
+        pytest.skip("needs the 8-device CPU mesh")
+    import numpy as np
+
+    import __graft_entry__ as g
+    from abismal_tpu.map.pipeline import (
+        DeviceIndex, TpuNativeEngine, build_stage1,
+    )
+
+    eng = TpuNativeEngine(trex1_index, unit_batch=128, n_threads=1,
+                          index_shards=8)
+    preads, lens, is_ga, thr = g._unit_inputs(trex1_index, 128, seed=3)
+    ev_tp, cf_tp = eng._stage1_call(preads, lens, is_ga, thr)
+    from abismal_tpu.map.pipeline import _merge_tp_streams
+
+    m_pos, m_diff, m_rank, m_start, m_cnt, m_ovf = _merge_tp_streams(
+        np.asarray(ev_tp), np.asarray(cf_tp))
+
+    dev = DeviceIndex(trex1_index)
+    stage1, _ = build_stage1(128, dev.max_candidates, dev.n_index2,
+                             dev.n_index3)
+    ev, cf = stage1(*dev.tables(), preads, lens, is_ga, thr)
+    ev = np.asarray(ev)
+    cf = np.asarray(cf)
+    cnt = (cf & 0x3FFFFFFF).astype(np.int64)
+    assert not (cf >> 30).any() and not m_ovf.any()
+    assert (m_cnt == cnt).all()
+    prefix = np.concatenate(([0], np.cumsum(cnt)))
+    total = int(prefix[-1])
+    assert total > 0
+    assert (m_pos == ev[0][:total]).all()
+    assert (m_rank == (ev[1][:total] & 0x3FFFFF).astype(np.int32)).all()
+    assert (m_diff == (ev[1][:total] >> 22).astype(np.int32) - 512).all()
