@@ -586,6 +586,108 @@ struct Aligner {
   }
 #endif
 
+#if defined(__AVX512BW__)
+  // Traceback variant of run_score_zmm: same recurrence, masks, and
+  // boundary semantics, but every row's final scores and arrows are
+  // stored for build_traceback.  Arrow capture reproduces the scalar
+  // 3-kernel overwrite-on-equal order exactly (run_tb above):
+  //   M iff c1 == prev[j] + sub   (then possibly overwritten)
+  //   D iff c2 == prev[j+1] - 4   (overwrites M on equality)
+  //   I iff c3[j] == c3[j-1] - 4  (final fixpoint values == the scalar
+  //                                left-to-right pass's running values)
+  // Lanes the scalar kernels never touch can hold scan-leaked phantom
+  // values here; they are strictly dominated by an earlier same-row cell,
+  // so the strict-'>' row-major argmax in build_traceback never selects
+  // them, and no arrow ever points into them (D arrows require a nonzero
+  // prev[j+1], which the right_next re-zeroing removes, and I arrows
+  // point left).
+  int16_t run_tb_zmm(const uint8_t *q, int64_t qs, int64_t t_pos,
+                     int64_t bw) {
+    const int64_t t_shift = qs + bw;
+    std::memset(table.data(), 0, t_shift * bw * sizeof(int16_t));
+    std::memset(tb.data(), -1, t_shift * bw);
+    std::memset(qpad.data(), 0, bw);
+    std::memcpy(qpad.data() + bw, q, qs);
+    std::memset(qpad.data() + bw + qs, 0, 48);
+    const uint8_t *qp = qpad.data() + bw;
+    const int64_t t_beg = t_pos - ((bw - 1) / 2);
+    const uint8_t *t_itr = gnib + t_beg;
+    const __m512i vzero = _mm512_setzero_si512();
+    const __m512i vmatch = _mm512_set1_epi16(ALN_MATCH);
+    const __m512i vmis = _mm512_set1_epi16(ALN_MISMATCH);
+    const __m512i vindel = _mm512_set1_epi16(ALN_INDEL);
+    const __m512i vm1 = _mm512_set1_epi16(-1);
+    const __m512i vM = _mm512_set1_epi16((int16_t)CIG_M);
+    const __m512i vD = _mm512_set1_epi16((int16_t)CIG_D);
+    const __m512i vI = _mm512_set1_epi16((int16_t)CIG_I);
+    const __m512i iota = _mm512_set_epi16(
+      31, 30, 29, 28, 27, 26, 25, 24, 23, 22, 21, 20, 19, 18, 17, 16, 15,
+      14, 13, 12, 11, 10, 9, 8, 7, 6, 5, 4, 3, 2, 1, 0);
+    const __m512i idx_dn1 = _mm512_add_epi16(iota, _mm512_set1_epi16(1));
+    const __m512i idx_up1 = _mm512_sub_epi16(iota, _mm512_set1_epi16(1));
+    __m512i idxs[5], penv[5];
+    __mmask32 kms[5];
+    int nrounds = 0;
+    for (int s = 1, pen = -(int)ALN_INDEL; s < (int)bw; s <<= 1, pen <<= 1) {
+      idxs[nrounds] = _mm512_sub_epi16(iota, _mm512_set1_epi16((int16_t)s));
+      kms[nrounds] = 0xFFFFFFFFu << s;
+      penv[nrounds] = _mm512_set1_epi16((int16_t)pen);
+      ++nrounds;
+    }
+    const __mmask32 storemask = (__mmask32)((1u << bw) - 1);
+    __m512i prev = vzero, rmaxv = vzero;
+    for (int64_t i = 1; i < t_shift; ++i) {
+      const int right = (int)std::min<int64_t>(bw, t_shift - i);
+      const __mmask32 bandmask = (1u << right) - 1;
+      const __m256i qb =
+        _mm256_loadu_si256((const __m256i *)(qp + (i - bw)));
+      const __m512i qw = _mm512_cvtepu8_epi16(qb);
+      const __m512i refv = _mm512_set1_epi16((int16_t)t_itr[i - 1]);
+      const __mmask32 mm = _mm512_test_epi16_mask(qw, refv);
+      const __m512i sub = _mm512_mask_blend_epi16(mm, vmis, vmatch);
+      const __m512i subscore = _mm512_add_epi16(prev, sub);
+      const __m512i c1 = _mm512_max_epi16(subscore, vzero);
+      const __m512i prevdn =
+        _mm512_maskz_permutexvar_epi16(0x7FFFFFFFu, idx_dn1, prev);
+      const __m512i del = _mm512_add_epi16(prevdn, vindel);
+      __m512i cur =
+        _mm512_maskz_mov_epi16(bandmask, _mm512_max_epi16(c1, del));
+      const __m512i c2 = cur;
+      for (int r = 0; r < nrounds; ++r) {
+        const __m512i sh =
+          _mm512_maskz_permutexvar_epi16(kms[r], idxs[r], cur);
+        cur = _mm512_max_epi16(cur, _mm512_sub_epi16(sh, penv[r]));
+      }
+      // arrows from the final values (in-band lanes only)
+      const __m512i c3l =
+        _mm512_maskz_permutexvar_epi16(0xFFFFFFFEu, idx_up1, cur);
+      const __mmask32 is_i = _mm512_mask_cmpeq_epi16_mask(
+        0xFFFFFFFEu, cur, _mm512_add_epi16(c3l, vindel));
+      const __mmask32 is_d = _mm512_cmpeq_epi16_mask(c2, del);
+      const __mmask32 is_m = _mm512_cmpeq_epi16_mask(c1, subscore);
+      __m512i arrow = _mm512_mask_blend_epi16(is_m, vm1, vM);
+      arrow = _mm512_mask_blend_epi16(
+        _kand_mask32(is_d, bandmask), arrow, vD);
+      arrow = _mm512_mask_blend_epi16(is_i, arrow, vI);
+      _mm512_mask_storeu_epi16(table.data() + i * bw, storemask, cur);
+      _mm256_mask_storeu_epi8(tb.data() + i * bw, storemask,
+                              _mm512_cvtepi16_epi8(arrow));
+      rmaxv = _mm512_max_epi16(rmaxv, cur);
+      const int right_next =
+        (int)std::min<int64_t>(bw, std::max<int64_t>(t_shift - i - 1, 0));
+      prev = _mm512_maskz_mov_epi16((1u << right_next) - 1, cur);
+    }
+    __m256i a = _mm256_max_epi16(_mm512_castsi512_si256(rmaxv),
+                                 _mm512_extracti64x4_epi64(rmaxv, 1));
+    __m128i b = _mm_max_epi16(_mm256_castsi256_si128(a),
+                              _mm256_extracti128_si256(a, 1));
+    b = _mm_max_epi16(b, _mm_srli_si128(b, 8));
+    b = _mm_max_epi16(b, _mm_srli_si128(b, 4));
+    b = _mm_max_epi16(b, _mm_srli_si128(b, 2));
+    return (int16_t)_mm_extract_epi16(b, 0);
+  }
+#endif
+
   int16_t run_score(const uint8_t *q, int64_t qs, int64_t t_pos,
                     int64_t bw) {
 #if defined(__AVX512BW__)
@@ -621,8 +723,14 @@ struct Aligner {
           stat[9] += (qs + bw) * bw;
       }
     }
+#if defined(__AVX512BW__)
+    const int16_t r = do_tb ? (bw < 32 ? run_tb_zmm(q, qs, t_pos, bw)
+                                       : run_tb(q, qs, t_pos, bw))
+                            : run_score(q, qs, t_pos, bw);
+#else
     const int16_t r =
       do_tb ? run_tb(q, qs, t_pos, bw) : run_score(q, qs, t_pos, bw);
+#endif
     if (do_tb) {
       build_traceback(qs, t_pos, bw, r);
       have_tb = true;
