@@ -29,6 +29,7 @@
 #include <thread>
 #include <vector>
 
+#include <sys/mman.h>
 #include <sys/stat.h>
 #include <unistd.h>
 #include <zlib.h>
@@ -951,6 +952,28 @@ inline int32_t full_compare(const Engine &E, const uint64_t *packed,
 #endif
 }
 
+// Early-exit variant for the candidate-check loop: stops as soon as the
+// running mismatch count exceeds `cutoff` (the partial sum only grows, so
+// the accept decision d <= cutoff is unchanged -- same trick as the
+// reference's per-word `while (d <= cutoff)` loop, abismal.cpp:1105-1122).
+// Most candidates fail within the first word or two, so this skips the
+// bulk of the popcount work.
+inline int32_t full_compare_cut(const Engine &E, const uint64_t *packed,
+                                int n_words, uint32_t pos, int32_t cutoff) {
+  const int64_t w = pos >> 4;
+  const uint64_t sh = (uint64_t)(pos & 15) * 4;
+  int32_t d = 0;
+  for (int j = 0; j < n_words; ++j) {
+    const uint64_t g1 = E.gwords[w + j];
+    const uint64_t g2 = E.gwords[w + j + 1];
+    const uint64_t merged = (g1 >> sh) | ((g2 << (63 - sh)) << 1);
+    d += 16 - __builtin_popcountll(packed[j] & merged);
+    if (d > cutoff)
+      return d;
+  }
+  return d;
+}
+
 template <class Cand>
 void check_hits(const Engine &E, const uint64_t *packed, int n_words,
                 int offset, const uint32_t *bucket, int64_t cnt, uint32_t sc,
@@ -967,7 +990,7 @@ void check_hits(const Engine &E, const uint64_t *packed, int n_words,
       __builtin_prefetch(
         E.gwords + (((uint64_t)(bucket[i + 8] - (uint32_t)offset)) >> 4));
     const uint32_t pos = bucket[i] - (uint32_t)offset;
-    const int32_t d = full_compare(E, packed, n_words, pos);
+    const int32_t d = full_compare_cut(E, packed, n_words, pos, res.cutoff);
     if (d <= res.cutoff)
       res.update(true, d, sc, pos);
   }
@@ -1085,11 +1108,28 @@ void process_seeds(const Engine &E, Worker &w, const uint8_t *pread, int len,
   const int specific_len = std::min(len - WINDOW_SIZE, len >> 1);
   const int specific_lim = std::max(WINDOW_SIZE, len >> 1);
 
+  // the hash keys for every offset were computed above, so the dependent
+  // counter-table loads (two random accesses into 128/165 MB arrays per
+  // offset per table -- the dominant cache-miss source of the seed stage)
+  // can be issued PF offsets ahead
+  const int PF = 12;
+  auto prefetch_counters = [&](int i, int loop_lim) {
+    if (i < loop_lim) {
+      if (i < lim2)
+        __builtin_prefetch(E.counter2 + w.k2[i]);
+      if (i < lim3)
+        __builtin_prefetch(counter3 + w.k3[i]);
+    }
+  };
+
   // --- specific phase ---
   res.set_specific();
+  for (int i = 0; i < std::min(PF, specific_lim); ++i)
+    prefetch_counters(i, specific_lim);
   for (int i = 0; i < specific_lim; ++i) {
     if (res.sure_ambig)
       break;
+    prefetch_counters(i + PF, specific_lim);
     const uint32_t kk = (i < lim2) ? w.k2[i] : 0;
     int64_t s2 = E.counter2[kk], e2 = E.counter2[kk + 1];
     int l_two;
@@ -1100,7 +1140,6 @@ void process_seeds(const Engine &E, Worker &w, const uint8_t *pread, int len,
     int l_three;
     find_candidates_three(E, pread, i, len - i, s3, e3, l_three, is_ga);
     const int64_t d_three = e3 - s3;
-
     if (d_two <= max_c || l_two >= specific_len)
       check_hits(E, packed, n_words, i, E.index2 + s2, d_two, sc, res);
     if (d_three <= max_c || l_three >= specific_len)
@@ -1112,9 +1151,12 @@ void process_seeds(const Engine &E, Worker &w, const uint8_t *pread, int len,
 
   // --- sensitive phase ---
   res.set_sensitive();
+  for (int i = 0; i < std::min(PF, lim2); ++i)
+    prefetch_counters(i, lim2);
   for (int i = 0; i < lim2; ++i) {
     if (res.sure_ambig)
       break;
+    prefetch_counters(i + PF, lim2);
     const uint32_t kk = w.k2[i];
     const int64_t s2 = E.counter2[kk], e2 = E.counter2[kk + 1];
     const int64_t d_two = e2 - s2;
@@ -1957,6 +1999,27 @@ void sum_stats(Engine &E, int64_t *stats_out, int n) {
 
 extern "C" {
 
+// Best-effort transparent-hugepage backing for the big random-access
+// tables (counters: 2 probes per offset per table into 128/165 MB arrays;
+// gnib: binary-search gathers).  With 4K pages every probe is also a TLB
+// miss whose page walk itself misses cache; 2M pages cut that, and -- the
+// larger effect in practice -- make seed-stage timing stable across runs
+// instead of depending on what the allocator happened to return.
+// MADV_COLLAPSE (Linux 6.1+) synchronously collapses the already-faulted
+// numpy-owned pages; both calls are advisory and failures are ignored.
+#ifndef MADV_COLLAPSE
+#define MADV_COLLAPSE 25
+#endif
+void huge_advise(const void *p, size_t n) {
+  const size_t page = 4096;
+  uintptr_t a = ((uintptr_t)p + page - 1) & ~(page - 1);
+  uintptr_t e = ((uintptr_t)p + n) & ~(page - 1);
+  if (e <= a)
+    return;
+  madvise((void *)a, e - a, MADV_HUGEPAGE);
+  madvise((void *)a, e - a, MADV_COLLAPSE);
+}
+
 void *engine_create(const uint8_t *genome_nib, const uint64_t *genome_words,
                     int64_t genome_size, const uint32_t *counter2,
                     const uint32_t *counter_t, const uint32_t *counter_a,
@@ -1966,6 +2029,14 @@ void *engine_create(const uint8_t *genome_nib, const uint64_t *genome_words,
                     const char *names_blob, int allow_ambig,
                     double valid_frac, int64_t pe_min, int64_t pe_max) {
   Engine *E = new Engine();
+  huge_advise(genome_nib, (size_t)genome_size);
+  huge_advise(genome_words, (size_t)((genome_size + 15) / 16) * 8);
+  huge_advise(counter2, ((size_t)1 << 25) * 4);
+  huge_advise(counter_t, (size_t)43046722 * 4);
+  huge_advise(counter_a, (size_t)43046722 * 4);
+  huge_advise(index2, (size_t)counter2[1 << 25] * 4);
+  huge_advise(index_t, (size_t)counter_t[43046721] * 4);
+  huge_advise(index_a, (size_t)counter_a[43046721] * 4);
   E->gnib = genome_nib;
   E->gwords = genome_words;
   E->gsize = genome_size;
