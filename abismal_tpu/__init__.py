@@ -19,3 +19,23 @@ Subpackages:
 """
 
 __version__ = "0.1.0"
+
+import os as _os
+
+# numpy madvises allocations >= 4 MB to transparent hugepages by default;
+# on hosts where a 2M THP fault is slow (VM memory ballooning, direct
+# compaction under madvise-mode defrag) that makes every big allocation
+# 20-30x slower than plain 4K faults -- measured 20s vs 0.6s for a 1 GB
+# copy on the dev VM, and it was the dominant source of run-to-run timing
+# variance.  Opt back in with ABISMAL_THP=1 if the host handles THP well.
+_os.environ.setdefault("NUMPY_MADVISE_HUGEPAGE", "0")
+if _os.environ.get("ABISMAL_THP") != "1":
+    try:
+        import numpy as _np
+
+        try:
+            _np._core.multiarray._set_madvise_hugepage(False)
+        except AttributeError:  # numpy < 2
+            _np.core.multiarray._set_madvise_hugepage(False)
+    except Exception:
+        pass

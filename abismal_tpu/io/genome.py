@@ -96,24 +96,43 @@ def load_genome(genome_file: str):
     chunks = [np.full(PADDING_SIZE, ord("N"), dtype=np.uint8)]
     size = PADDING_SIZE
 
+    def add_name(header: bytes):
+        # name = text after '>' up to first space/tab (AbismalIndex.cpp:1346)
+        cut = len(header)
+        for d in (b" ", b"\t"):
+            p = header.find(d)
+            if p != -1:
+                cut = min(cut, p)
+        names.append(header[:cut].decode())
+        starts.append(size)
+
     with open_maybe_gzip(genome_file) as fh:
-        for raw in _io.BufferedReader(fh):
-            line = raw.rstrip(b"\n")
-            if line[:1] == b">":
-                # name = text after '>' up to first space/tab
-                # (AbismalIndex.cpp:1346)
-                rest = line[1:]
-                cut = len(rest)
-                for d in (b" ", b"\t"):
-                    p = rest.find(d)
-                    if p != -1:
-                        cut = min(cut, p)
-                names.append(rest[:cut].decode())
-                starts.append(size)
-            else:
-                arr = np.frombuffer(line, dtype=np.uint8)
+        data = fh.read()
+        if data[:1] == b">":
+            # fast path: split whole-buffer records at line-start '>' and
+            # delete newlines at C speed -- byte-identical to the line
+            # loop below (only '\n' is stripped, '\r' and case are kept)
+            for rec in data.split(b"\n>"):
+                if rec[:1] == b">":
+                    rec = rec[1:]
+                nl = rec.find(b"\n")
+                if nl == -1:
+                    add_name(rec)
+                    continue
+                add_name(rec[:nl])
+                seq = rec[nl + 1:].translate(None, b"\n")
+                arr = np.frombuffer(seq, dtype=np.uint8)
                 chunks.append(arr)
                 size += arr.shape[0]
+        else:
+            for raw in data.split(b"\n"):
+                line = raw
+                if line[:1] == b">":
+                    add_name(line[1:])
+                else:
+                    arr = np.frombuffer(line, dtype=np.uint8)
+                    chunks.append(arr)
+                    size += arr.shape[0]
 
     if len(names) < 2:
         raise RuntimeError("no names found in genome file")

@@ -1999,18 +1999,23 @@ void sum_stats(Engine &E, int64_t *stats_out, int n) {
 
 extern "C" {
 
-// Best-effort transparent-hugepage backing for the big random-access
-// tables (counters: 2 probes per offset per table into 128/165 MB arrays;
-// gnib: binary-search gathers).  With 4K pages every probe is also a TLB
-// miss whose page walk itself misses cache; 2M pages cut that, and -- the
-// larger effect in practice -- make seed-stage timing stable across runs
-// instead of depending on what the allocator happened to return.
-// MADV_COLLAPSE (Linux 6.1+) synchronously collapses the already-faulted
-// numpy-owned pages; both calls are advisory and failures are ignored.
+// Optional transparent-hugepage backing for the big random-access tables
+// (counters: 2 probes per offset per table into 128/165 MB arrays; gnib:
+// binary-search gathers), enabled with ABISMAL_THP=1.  2M pages cut the
+// TLB misses on the random probes, but THP allocation cost is extremely
+// host-dependent (on VMs with on-demand memory a 2M fault can take tens
+// of ms), so this stays opt-in.  MADV_COLLAPSE (Linux 6.1+) collapses the
+// already-faulted numpy-owned pages; both calls are advisory.
 #ifndef MADV_COLLAPSE
 #define MADV_COLLAPSE 25
 #endif
 void huge_advise(const void *p, size_t n) {
+  static const bool on = [] {
+    const char *e = getenv("ABISMAL_THP");
+    return e && *e == '1';
+  }();
+  if (!on)
+    return;
   const size_t page = 4096;
   uintptr_t a = ((uintptr_t)p + page - 1) & ~(page - 1);
   uintptr_t e = ((uintptr_t)p + n) & ~(page - 1);
