@@ -156,6 +156,17 @@ def cmd_map(argv):
                    help="shard the index position lists by bucket-key "
                         "range over N local devices (TP layout; --engine "
                         "tpu; an integer or 'all')")
+    p.add_argument("--hosts", type=int, default=0,
+                   help="multi-host run: shard the FASTQ by read range "
+                        "over N host processes (each loads its own index "
+                        "replica) and gather shard SAMs in rank order; "
+                        "output is byte-identical to a single-host run "
+                        "(requires -i)")
+    p.add_argument("--shard", default="",
+                   help="map only read-range shard I:N of the input (one "
+                        "host of a real multi-host run; the header is "
+                        "written by shard 0 only; concatenate shard "
+                        "outputs in rank order to gather)")
     p.add_argument("reads_files", nargs="+")
     a = p.parse_args(argv)
 
@@ -173,6 +184,48 @@ def cmd_map(argv):
     from .index.serialize import read_index
     from .map.engine import run_map
 
+    command_line = "map " + " ".join(argv)
+    reads2 = a.reads_files[1] if len(a.reads_files) == 2 else None
+
+    if a.hosts or a.shard:
+        # multi-host sharding: every host process loads its own index
+        # replica, so the coordinator never loads one
+        if not a.index:
+            print("--hosts/--shard require a prebuilt index (-i)",
+                  file=sys.stderr)
+            return 0
+        from .map.engine import _write_stats
+
+        paired = reads2 is not None
+        if a.hosts:
+            from .parallel.multihost import run_map_multihost
+
+            stats = run_map_multihost(
+                a.index, a.reads_files[0], reads2, a.outfile, command_line,
+                n_hosts=a.hosts, threads_per_host=max(1, a.threads),
+                a_rich=a.a_rich, pbat=a.pbat, random_pbat=a.random_pbat,
+                allow_ambig=a.ambig, valid_frac=a.max_distance,
+                pe_min_dist=a.min_frag, pe_max_dist=a.max_frag)
+        else:
+            from .parallel.multihost import (
+                count_reads, map_shard, shard_bounds, _apply_stats,
+            )
+            from .map.stats import PEStats, SEStats
+
+            si, sn = a.shard.split(":")
+            si, sn = int(si), int(sn)
+            skip, cnt = shard_bounds(count_reads(a.reads_files[0]), sn)[si]
+            raw = map_shard(
+                a.index, a.reads_files[0], reads2, a.outfile, si, sn,
+                command_line, skip, cnt, a_rich=a.a_rich, pbat=a.pbat,
+                random_pbat=a.random_pbat, allow_ambig=a.ambig,
+                valid_frac=a.max_distance, pe_min_dist=a.min_frag,
+                pe_max_dist=a.max_frag, threads=max(1, a.threads))
+            stats = PEStats() if paired else SEStats()
+            _apply_stats(raw, paired, stats)
+        _write_stats(stats, a.stats or None, a.json, paired, a.ambig)
+        return 0
+
     if a.index:
         if a.verbose:
             _log(f"loading index {a.index}")
@@ -185,9 +238,6 @@ def cmd_map(argv):
         index = create_index(a.genome)
     if a.max_candidates:
         index.max_candidates = a.max_candidates
-
-    command_line = "map " + " ".join(argv)
-    reads2 = a.reads_files[1] if len(a.reads_files) == 2 else None
 
     engine_factory = None
     if a.engine == "native":

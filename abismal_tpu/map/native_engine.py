@@ -225,14 +225,15 @@ class NativeMappingEngine:
 
     def run_streaming(self, reads_file1, reads_file2, out_path, header: str,
                       a_rich_mode, random_pbat, stats, batch_size=1000,
-                      verbose=False):
+                      verbose=False, skip_reads=0, max_reads=-1):
         hdr = header.encode()
         if reads_file2 is None:
             st = np.zeros(6, dtype=np.int64)
             n = self.lib.engine_run_se(
                 self._ctx, reads_file1.encode(), out_path.encode(), hdr,
                 len(hdr), int(a_rich_mode), int(random_pbat),
-                int(batch_size), self.n_threads, _ptr(st), int(verbose))
+                int(batch_size), self.n_threads, _ptr(st), int(verbose),
+                int(skip_reads), int(max_reads))
             if n < 0:
                 raise RuntimeError(
                     self.lib.engine_error_ptr(self._ctx).decode())
@@ -244,7 +245,7 @@ class NativeMappingEngine:
                 self._ctx, reads_file1.encode(), reads_file2.encode(),
                 out_path.encode(), hdr, len(hdr), int(a_rich_mode),
                 int(random_pbat), int(batch_size), self.n_threads, _ptr(st),
-                int(verbose))
+                int(verbose), int(skip_reads), int(max_reads))
             if n < 0:
                 raise RuntimeError(
                     self.lib.engine_error_ptr(self._ctx).decode())

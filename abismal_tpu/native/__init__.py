@@ -209,6 +209,7 @@ def get_engine_lib() -> ctypes.CDLL:
             ctypes.c_int, ctypes.c_int,  # a_rich_mode, random_pbat
             ctypes.c_int64, ctypes.c_int,  # batch_size, n_threads
             ctypes.c_void_p, ctypes.c_int,  # stats_out, verbose
+            ctypes.c_int64, ctypes.c_int64,  # skip_reads, max_reads
         ]
         lib.engine_run_pe.restype = ctypes.c_int64
         lib.engine_run_pe.argtypes = [
@@ -218,6 +219,7 @@ def get_engine_lib() -> ctypes.CDLL:
             ctypes.c_int, ctypes.c_int,  # a_rich_mode, random_pbat
             ctypes.c_int64, ctypes.c_int,  # batch_size, n_threads
             ctypes.c_void_p, ctypes.c_int,  # stats_out, verbose
+            ctypes.c_int64, ctypes.c_int64,  # skip_reads, max_reads
         ]
 
         _LIBS["_engine"] = lib

@@ -2689,6 +2689,33 @@ struct GzLines {
   }
   bool ok() const { return f != nullptr; }
 
+  // consumes n lines without materializing them (multi-host shard skip)
+  void skip_lines(int64_t n) {
+    while (n > 0) {
+      if (pos >= len) {
+        if (hit_eof)
+          return;
+        len = gzread(f, buf.data(), (unsigned)buf.size());
+        pos = 0;
+        if (len <= 0) {
+          hit_eof = true;
+          len = 0;
+          return;
+        }
+      }
+      const char *base = buf.data() + pos;
+      const char *nl = (const char *)memchr(base, '\n', len - pos);
+      if (nl) {
+        pos += (nl - base) + 1;
+        ++line_no;
+        --n;
+      }
+      else {
+        pos = len;
+      }
+    }
+  }
+
   // appends the next line (no '\n') to out; false at EOF with nothing read
   bool next_line(std::string &out) {
     out.clear();
@@ -2801,6 +2828,7 @@ struct StreamCtl {
   bool done = false, failed = false;
   std::string err;
   int64_t n_reads = 0;
+  int64_t remaining = -1;  // shard read budget; < 0 = unlimited
   FILE *out = nullptr;
   // progress
   bool tty = false;
@@ -2874,12 +2902,16 @@ void engine_stage_ns(void *eng, int64_t *out12, int reset) {
 }
 
 // Full SE mapping run: parses fq_path, maps with n_threads workers, writes
-// header + records to out_path in read order.  Returns total reads
-// processed, or -1 with the message in engine_error_ptr().
+// header + records to out_path in read order.  skip_reads/max_reads select
+// a read-range shard (multi-host FASTQ sharding: each host maps its range
+// and the gather step concatenates shard outputs in rank order);
+// max_reads < 0 means to EOF.  Returns total reads processed, or -1 with
+// the message in engine_error_ptr().
 int64_t engine_run_se(void *eng, const char *fq_path, const char *out_path,
                       const uint8_t *header, int64_t header_len,
                       int a_rich_mode, int random_pbat, int64_t batch_size,
-                      int n_threads, int64_t *stats_out, int verbose) {
+                      int n_threads, int64_t *stats_out, int verbose,
+                      int64_t skip_reads, int64_t max_reads) {
   Engine &E = *(Engine *)eng;
   E.err.clear();
   GzLines in(fq_path);
@@ -2887,6 +2919,8 @@ int64_t engine_run_se(void *eng, const char *fq_path, const char *out_path,
     E.err = std::string("cannot open file: ") + fq_path;
     return -1;
   }
+  if (skip_reads > 0)
+    in.skip_lines(4 * skip_reads);
   FILE *out = fopen(out_path, "w");
   if (!out) {
     E.err = std::string("cannot open output file: ") + out_path;
@@ -2896,6 +2930,7 @@ int64_t engine_run_se(void *eng, const char *fq_path, const char *out_path,
   n_threads = std::max(1, n_threads);
   StreamCtl C;
   stream_init(E, C, fq_path, out, n_threads, verbose);
+  C.remaining = max_reads;
   const Events ev{};
 
   std::vector<std::thread> ts;
@@ -2914,9 +2949,12 @@ int64_t engine_run_se(void *eng, const char *fq_path, const char *out_path,
           my_seq = C.next_seq++;
           std::string err;
           int prc;
+          const int64_t bs = C.remaining < 0
+                               ? batch_size
+                               : std::min(batch_size, C.remaining);
           {
             StageTimer pt(w.tns + 3);
-            prc = parse_batch(in, fq_path, batch_size, b, err);
+            prc = parse_batch(in, fq_path, bs, b, err);
           }
           if (prc != 0) {
             C.failed = true;
@@ -2924,6 +2962,8 @@ int64_t engine_run_se(void *eng, const char *fq_path, const char *out_path,
           }
           else if (b.n == 0)
             C.done = true;
+          else if (C.remaining >= 0)
+            C.remaining -= b.n;
           bpos = in.byte_pos();
         }
         w.out.clear();
@@ -2971,7 +3011,7 @@ int64_t engine_run_pe(void *eng, const char *fq1_path, const char *fq2_path,
                       const char *out_path, const uint8_t *header,
                       int64_t header_len, int a_rich_mode, int random_pbat,
                       int64_t batch_size, int n_threads, int64_t *stats_out,
-                      int verbose) {
+                      int verbose, int64_t skip_reads, int64_t max_reads) {
   Engine &E = *(Engine *)eng;
   E.err.clear();
   GzLines in1(fq1_path), in2(fq2_path);
@@ -2979,6 +3019,10 @@ int64_t engine_run_pe(void *eng, const char *fq1_path, const char *fq2_path,
     E.err = std::string("cannot open file: ") +
             (in1.ok() ? fq2_path : fq1_path);
     return -1;
+  }
+  if (skip_reads > 0) {
+    in1.skip_lines(4 * skip_reads);
+    in2.skip_lines(4 * skip_reads);
   }
   FILE *out = fopen(out_path, "w");
   if (!out) {
@@ -2989,6 +3033,7 @@ int64_t engine_run_pe(void *eng, const char *fq1_path, const char *fq2_path,
   n_threads = std::max(1, n_threads);
   StreamCtl C;
   stream_init(E, C, fq1_path, out, n_threads, verbose);
+  C.remaining = max_reads;
   const Events ev{};
 
   std::vector<std::thread> ts;
@@ -3007,10 +3052,13 @@ int64_t engine_run_pe(void *eng, const char *fq1_path, const char *fq2_path,
           my_seq = C.next_seq++;
           std::string err;
           int prc;
+          const int64_t bs = C.remaining < 0
+                               ? batch_size
+                               : std::min(batch_size, C.remaining);
           {
             StageTimer pt(w.tns + 3);
-            prc = (parse_batch(in1, fq1_path, batch_size, b1, err) != 0 ||
-                   parse_batch(in2, fq2_path, batch_size, b2, err) != 0);
+            prc = (parse_batch(in1, fq1_path, bs, b1, err) != 0 ||
+                   parse_batch(in2, fq2_path, bs, b2, err) != 0);
           }
           if (prc) {
             C.failed = true;
@@ -3026,6 +3074,8 @@ int64_t engine_run_pe(void *eng, const char *fq1_path, const char *fq2_path,
           }
           else if (b1.n == 0)
             C.done = true;
+          else if (C.remaining >= 0)
+            C.remaining -= b1.n;
           bpos = in1.byte_pos();
         }
         w.out.clear();
