@@ -23,6 +23,7 @@
 #include <condition_variable>
 #include <cstdint>
 #include <cstdio>
+#include <cstdlib>
 #include <cstring>
 #include <mutex>
 #include <string>
@@ -861,7 +862,7 @@ struct Worker {
   // stage ns: seed, align, format, parse; then align-call histogram:
   // n_score_calls, sum_cells, n_tb_calls, sum_bw, cells at bw<16,
   // cells at bw in [16,32), spare x2
-  int64_t tns[12] = {0};
+  int64_t tns[16] = {0};
   std::vector<uint8_t> buf[8];   // read encodings
   std::vector<uint8_t> rcbuf[2]; // raw revcomp ASCII
   std::vector<uint64_t> packed;  // packed read for native seeding
@@ -977,18 +978,36 @@ inline int32_t full_compare_cut(const Engine &E, const uint64_t *packed,
 template <class Cand>
 void check_hits(const Engine &E, const uint64_t *packed, int n_words,
                 int offset, const uint32_t *bucket, int64_t cnt, uint32_t sc,
-                Cand &res) {
+                Cand &res, Worker &w) {
   // compare candidates in bucket order and feed the candidate set
   // (abismal.cpp:1124-1150); genome windows of upcoming candidates are
   // prefetched like the reference's SSE prefetch (abismal.cpp:1134-1137)
   if (cnt == 0 || res.sure_ambig)
     return;
+  if (g_profile) {
+    w.tns[12] += cnt;
+    w.tns[13] += 1;
+  }
+  // prime the prefetch pipeline: both cache lines of each window (the
+  // 8-word window spans up to 2 lines at an unaligned nibble offset)
+  static const int PFD = [] {
+    const char *e = getenv("ABISMAL_PFD");
+    return e ? atoi(e) : 10;
+  }();
+  for (int64_t i = 0; i < std::min<int64_t>(PFD, cnt); ++i) {
+    const uint64_t wd = ((uint64_t)(bucket[i] - (uint32_t)offset)) >> 4;
+    __builtin_prefetch(E.gwords + wd);
+    __builtin_prefetch(E.gwords + wd + 7);
+  }
   for (int64_t i = 0; i < cnt; ++i) {
     if (res.sure_ambig)
       break;
-    if (i + 8 < cnt)
-      __builtin_prefetch(
-        E.gwords + (((uint64_t)(bucket[i + 8] - (uint32_t)offset)) >> 4));
+    if (i + PFD < cnt) {
+      const uint64_t wd =
+        ((uint64_t)(bucket[i + PFD] - (uint32_t)offset)) >> 4;
+      __builtin_prefetch(E.gwords + wd);
+      __builtin_prefetch(E.gwords + wd + 7);
+    }
     const uint32_t pos = bucket[i] - (uint32_t)offset;
     const int32_t d = full_compare_cut(E, packed, n_words, pos, res.cutoff);
     if (d <= res.cutoff)
@@ -1000,13 +1019,17 @@ void check_hits(const Engine &E, const uint64_t *packed, int n_words,
 // (abismal.cpp:1163-1194)
 inline void find_candidates_two(const Engine &E, const uint8_t *pread,
                                 int offset, int read_lim, int64_t &lo,
-                                int64_t &hi, int &p_out) {
+                                int64_t &hi, int &p_out, Worker &w) {
   const int64_t max_c = E.max_candidates;
   int p = KEY_WEIGHT;
   int64_t prev_lo = lo, prev_hi = hi;
   while (p != read_lim && (hi - lo) > max_c) {
     prev_lo = lo;
     prev_hi = hi;
+    if (g_profile) {
+      w.tns[10] += 1;            // extension steps
+      w.tns[11] += 64 - __builtin_clzll((uint64_t)(hi - lo) | 1);  // probes
+    }
     int64_t a = lo, b = hi;
     while (a < b) {
       const int64_t mid = (a + b) >> 1;
@@ -1032,7 +1055,8 @@ inline void find_candidates_two(const Engine &E, const uint8_t *pread,
 // three-letter variant with two lower_bounds (abismal.cpp:1214-1259)
 inline void find_candidates_three(const Engine &E, const uint8_t *pread,
                                   int offset, int read_lim, int64_t &lo,
-                                  int64_t &hi, int &p_out, bool is_ga) {
+                                  int64_t &hi, int &p_out, bool is_ga,
+                                  Worker &w) {
   const int64_t max_c = E.max_candidates;
   const uint32_t *index = is_ga ? E.index_a : E.index_t;
   const uint8_t mask = is_ga ? 10 : 5;
@@ -1052,6 +1076,10 @@ inline void find_candidates_three(const Engine &E, const uint8_t *pread,
   while (p != read_lim && (hi - lo) > max_c) {
     prev_lo = lo;
     prev_hi = hi;
+    if (g_profile) {
+      w.tns[10] += 1;
+      w.tns[11] += 2 * (64 - __builtin_clzll((uint64_t)(hi - lo) | 1));
+    }
     const int64_t first_1 = lower_bound(lo, hi, v1, p);
     const int64_t first_2 = lower_bound(lo, hi, v2, p);
     const uint8_t num = pread[offset + p] & mask;
@@ -1122,28 +1150,58 @@ void process_seeds(const Engine &E, Worker &w, const uint8_t *pread, int len,
     }
   };
 
+  // second pipeline stage: read the (already prefetched) counter values a
+  // few offsets early and prefetch the bucket heads + the extension's
+  // first binary-search probe, so check_hits/find_candidates start from
+  // warm lines
+  static const int PB = [] {
+    const char *e = getenv("ABISMAL_PB");
+    return e ? atoi(e) : 8;
+  }();
+  auto prefetch_buckets = [&](int i, int loop_lim) {
+    if (i >= loop_lim)
+      return;
+    const uint32_t kk = (i < lim2) ? w.k2[i] : 0;
+    const int64_t s2 = E.counter2[kk], e2 = E.counter2[kk + 1];
+    if (e2 > s2) {
+      __builtin_prefetch(E.index2 + s2);
+      if (e2 - s2 > max_c)
+        __builtin_prefetch(E.index2 + ((s2 + e2) >> 1));
+    }
+    const uint32_t kk3 = (i < lim3) ? w.k3[i] : 0;
+    const int64_t s3 = counter3[kk3], e3 = counter3[kk3 + 1];
+    if (e3 > s3) {
+      __builtin_prefetch(index3 + s3);
+      if (e3 - s3 > max_c)
+        __builtin_prefetch(index3 + ((s3 + e3) >> 1));
+    }
+  };
+
   // --- specific phase ---
   res.set_specific();
   for (int i = 0; i < std::min(PF, specific_lim); ++i)
     prefetch_counters(i, specific_lim);
+  for (int i = 0; i < std::min(PB, specific_lim); ++i)
+    prefetch_buckets(i, specific_lim);
   for (int i = 0; i < specific_lim; ++i) {
     if (res.sure_ambig)
       break;
     prefetch_counters(i + PF, specific_lim);
+    prefetch_buckets(i + PB, specific_lim);
     const uint32_t kk = (i < lim2) ? w.k2[i] : 0;
     int64_t s2 = E.counter2[kk], e2 = E.counter2[kk + 1];
     int l_two;
-    find_candidates_two(E, pread, i, len - i, s2, e2, l_two);
+    find_candidates_two(E, pread, i, len - i, s2, e2, l_two, w);
     const int64_t d_two = e2 - s2;
     const uint32_t kk3 = (i < lim3) ? w.k3[i] : 0;
     int64_t s3 = counter3[kk3], e3 = counter3[kk3 + 1];
     int l_three;
-    find_candidates_three(E, pread, i, len - i, s3, e3, l_three, is_ga);
+    find_candidates_three(E, pread, i, len - i, s3, e3, l_three, is_ga, w);
     const int64_t d_three = e3 - s3;
     if (d_two <= max_c || l_two >= specific_len)
-      check_hits(E, packed, n_words, i, E.index2 + s2, d_two, sc, res);
+      check_hits(E, packed, n_words, i, E.index2 + s2, d_two, sc, res, w);
     if (d_three <= max_c || l_three >= specific_len)
-      check_hits(E, packed, n_words, i, index3 + s3, d_three, sc, res);
+      check_hits(E, packed, n_words, i, index3 + s3, d_three, sc, res, w);
   }
 
   if (!res.should_do_sensitive())
@@ -1153,10 +1211,13 @@ void process_seeds(const Engine &E, Worker &w, const uint8_t *pread, int len,
   res.set_sensitive();
   for (int i = 0; i < std::min(PF, lim2); ++i)
     prefetch_counters(i, lim2);
+  for (int i = 0; i < std::min(PB, lim2); ++i)
+    prefetch_buckets(i, lim2);
   for (int i = 0; i < lim2; ++i) {
     if (res.sure_ambig)
       break;
     prefetch_counters(i + PF, lim2);
+    prefetch_buckets(i + PB, lim2);
     const uint32_t kk = w.k2[i];
     const int64_t s2 = E.counter2[kk], e2 = E.counter2[kk + 1];
     const int64_t d_two = e2 - s2;
@@ -1166,9 +1227,9 @@ void process_seeds(const Engine &E, Worker &w, const uint8_t *pread, int len,
 
     if (d_two != 0 && d_two <= max_c
         && (d_three == 0 || d_two <= MIN_FOLD_SIZE * d_three))
-      check_hits(E, packed, n_words, i, E.index2 + s2, d_two, sc, res);
+      check_hits(E, packed, n_words, i, E.index2 + s2, d_two, sc, res, w);
     if (d_three != 0 && d_three <= max_c)
-      check_hits(E, packed, n_words, i, index3 + s3, d_three, sc, res);
+      check_hits(E, packed, n_words, i, index3 + s3, d_three, sc, res, w);
   }
 }
 
@@ -2889,13 +2950,13 @@ void engine_set_profile(void *eng, int on) {
   g_profile = on != 0;
 }
 
-void engine_stage_ns(void *eng, int64_t *out12, int reset) {
+void engine_stage_ns(void *eng, int64_t *out16, int reset) {
   Engine &E = *(Engine *)eng;
-  for (int i = 0; i < 12; ++i)
-    out12[i] = 0;
+  for (int i = 0; i < 16; ++i)
+    out16[i] = 0;
   for (auto *w : E.workers)
-    for (int i = 0; i < 12; ++i) {
-      out12[i] += w->tns[i];
+    for (int i = 0; i < 16; ++i) {
+      out16[i] += w->tns[i];
       if (reset)
         w->tns[i] = 0;
     }
