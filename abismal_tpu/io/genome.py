@@ -9,7 +9,6 @@ prefix array with one extra final entry (total size).
 from __future__ import annotations
 
 import gzip
-import io as _io
 from dataclasses import dataclass, field
 
 import numpy as np

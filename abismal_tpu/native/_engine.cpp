@@ -916,15 +916,19 @@ inline int pack_read(const uint8_t *pread, int len,
 // native seeding (seeds.py port; abismal.cpp:1090-1375)
 // ---------------------------------------------------------------------------
 
-// Hamming distance of the packed read vs the genome window at pos
-// (abismal.cpp:1105-1122)
-inline int32_t full_compare(const Engine &E, const uint64_t *packed,
-                            int n_words, uint32_t pos) {
+// Hamming distance of the packed read vs the genome window at pos, with
+// the cutoff early exit: stops as soon as the running mismatch count
+// exceeds `cutoff` (the partial sum only grows, so the accept decision
+// d <= cutoff is unchanged -- the reference's per-word `while (d <=
+// cutoff)` loop, abismal.cpp:1105-1122).  On VPOPCNTDQ hardware the whole
+// window is summed in one masked 512-bit pass instead (exact d; the
+// early exit saves nothing once the lines are already loaded).
+inline int32_t full_compare_cut(const Engine &E, const uint64_t *packed,
+                                int n_words, uint32_t pos, int32_t cutoff) {
   const int64_t w = pos >> 4;
   const uint64_t sh = (uint64_t)(pos & 15) * 4;
 #if defined(__AVX512VPOPCNTDQ__)
-  // 8 genome words per iteration: shifted-window merge, AND with the
-  // packed read, lane popcounts; masked loads handle the tail
+  (void)cutoff;
   const __m512i vsh = _mm512_set1_epi64((long long)sh);
   const __m512i vshl = _mm512_set1_epi64((long long)(63 - sh));
   __m512i acc = _mm512_setzero_si512();
@@ -948,31 +952,11 @@ inline int32_t full_compare(const Engine &E, const uint64_t *packed,
     const uint64_t g2 = E.gwords[w + j + 1];
     const uint64_t merged = (g1 >> sh) | ((g2 << (63 - sh)) << 1);
     d += 16 - __builtin_popcountll(packed[j] & merged);
-  }
-  return d;
-#endif
-}
-
-// Early-exit variant for the candidate-check loop: stops as soon as the
-// running mismatch count exceeds `cutoff` (the partial sum only grows, so
-// the accept decision d <= cutoff is unchanged -- same trick as the
-// reference's per-word `while (d <= cutoff)` loop, abismal.cpp:1105-1122).
-// Most candidates fail within the first word or two, so this skips the
-// bulk of the popcount work.
-inline int32_t full_compare_cut(const Engine &E, const uint64_t *packed,
-                                int n_words, uint32_t pos, int32_t cutoff) {
-  const int64_t w = pos >> 4;
-  const uint64_t sh = (uint64_t)(pos & 15) * 4;
-  int32_t d = 0;
-  for (int j = 0; j < n_words; ++j) {
-    const uint64_t g1 = E.gwords[w + j];
-    const uint64_t g2 = E.gwords[w + j + 1];
-    const uint64_t merged = (g1 >> sh) | ((g2 << (63 - sh)) << 1);
-    d += 16 - __builtin_popcountll(packed[j] & merged);
     if (d > cutoff)
       return d;
   }
   return d;
+#endif
 }
 
 template <class Cand>
