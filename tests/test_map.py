@@ -215,3 +215,24 @@ def test_json_stats_format():
     j = stats_to_json(p)
     assert j.startswith('{"end1_stats":')
     assert '"read_pair_stats":' in j
+
+
+def test_gzipped_fastq_input(tmp_path, trex1_index):
+    """Gzipped FASTQ through the native streaming loop (zlib reader)."""
+    import os
+    import shutil
+
+    from abismal_tpu.map.engine import run_map
+    from abismal_tpu.map.pipeline import make_native_engine_factory
+
+    from tests.conftest import GOLDEN
+
+    fq_gz = tmp_path / "small_1.fq.gz"
+    shutil.copy(os.path.join(GOLDEN, "small_1.fq.gz"), fq_gz)
+    sam = tmp_path / "out.sam"
+    run_map(trex1_index, str(fq_gz), None, str(sam), None, "map gz",
+            engine_factory=make_native_engine_factory(n_threads=2),
+            threads=2)
+    body = lambda s: "\n".join(l for l in s.splitlines()
+                               if not l.startswith("@PG"))
+    assert body(sam.read_text()) == body(_read_golden("small.sam"))
