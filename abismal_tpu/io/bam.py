@@ -64,6 +64,24 @@ class BgzfWriter:
         self.f.close()
 
 
+def bam_header_payload(sam_header_text: str) -> bytes:
+    """Uncompressed BAM header block (magic + text + reference list) for a
+    SAM header; the native streaming writer BGZF-compresses this payload
+    and appends binary records (engine_run_se/pe with out_bam)."""
+    refs = []
+    for line in sam_header_text.splitlines():
+        if line.startswith("@SQ"):
+            fields = dict(f.split(":", 1) for f in line.split("\t")[1:])
+            refs.append((fields["SN"], int(fields["LN"])))
+    text = sam_header_text.encode()
+    out = bytearray(b"BAM\x01" + struct.pack("<i", len(text)) + text)
+    out += struct.pack("<i", len(refs))
+    for name, length in refs:
+        nb = name.encode() + b"\x00"
+        out += struct.pack("<i", len(nb)) + nb + struct.pack("<i", length)
+    return bytes(out)
+
+
 class BamWriter:
     """Accepts the engine's SAM text via write(); emits BAM."""
 

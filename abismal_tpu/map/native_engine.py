@@ -225,15 +225,22 @@ class NativeMappingEngine:
 
     def run_streaming(self, reads_file1, reads_file2, out_path, header: str,
                       a_rich_mode, random_pbat, stats, batch_size=1000,
-                      verbose=False, skip_reads=0, max_reads=-1):
-        hdr = header.encode()
+                      verbose=False, skip_reads=0, max_reads=-1, bam=False):
+        if bam:
+            # native BAM: pass the uncompressed BAM header payload; the
+            # library BGZF-compresses it and emits binary records
+            from ..io.bam import bam_header_payload
+
+            hdr = bam_header_payload(header)
+        else:
+            hdr = header.encode()
         if reads_file2 is None:
             st = np.zeros(6, dtype=np.int64)
             n = self.lib.engine_run_se(
                 self._ctx, reads_file1.encode(), out_path.encode(), hdr,
                 len(hdr), int(a_rich_mode), int(random_pbat),
                 int(batch_size), self.n_threads, _ptr(st), int(verbose),
-                int(skip_reads), int(max_reads))
+                int(skip_reads), int(max_reads), int(bam))
             if n < 0:
                 raise RuntimeError(
                     self.lib.engine_error_ptr(self._ctx).decode())
@@ -245,7 +252,7 @@ class NativeMappingEngine:
                 self._ctx, reads_file1.encode(), reads_file2.encode(),
                 out_path.encode(), hdr, len(hdr), int(a_rich_mode),
                 int(random_pbat), int(batch_size), self.n_threads, _ptr(st),
-                int(verbose), int(skip_reads), int(max_reads))
+                int(verbose), int(skip_reads), int(max_reads), int(bam))
             if n < 0:
                 raise RuntimeError(
                     self.lib.engine_error_ptr(self._ctx).decode())
@@ -299,7 +306,7 @@ def run_map_pipelined(engine, index, reads_file1, reads_file2, out_path,
 
     # fully-native loop: for SAM-text output from the pure-native engine,
     # the whole read->map->write stream runs inside the C++ library
-    if not bam and getattr(engine, "supports_streaming", False):
+    if getattr(engine, "supports_streaming", False):
         import sys as _sys
         import time as _t
 
@@ -311,10 +318,10 @@ def run_map_pipelined(engine, index, reads_file1, reads_file2, out_path,
         engine.run_streaming(
             reads_file1, reads_file2, out_path,
             make_sam_header(index.cl, command_line), a_rich_mode,
-            random_pbat, stats, verbose=verbose)
+            random_pbat, stats, verbose=verbose, bam=bam)
         if verbose:
             total = _t.monotonic() - start
-            ns = np.zeros(12, dtype=np.int64)
+            ns = np.zeros(16, dtype=np.int64)
             engine.lib.engine_stage_ns(engine._ctx, _ptr(ns), 1)
             cpu = max(1, int(ns[:4].sum()))
             for name, v in zip(("seed", "align", "format", "parse"), ns[:4]):

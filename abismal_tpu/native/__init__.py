@@ -210,6 +210,7 @@ def get_engine_lib() -> ctypes.CDLL:
             ctypes.c_int64, ctypes.c_int,  # batch_size, n_threads
             ctypes.c_void_p, ctypes.c_int,  # stats_out, verbose
             ctypes.c_int64, ctypes.c_int64,  # skip_reads, max_reads
+            ctypes.c_int,  # out_bam
         ]
         lib.engine_run_pe.restype = ctypes.c_int64
         lib.engine_run_pe.argtypes = [
@@ -220,6 +221,7 @@ def get_engine_lib() -> ctypes.CDLL:
             ctypes.c_int64, ctypes.c_int,  # batch_size, n_threads
             ctypes.c_void_p, ctypes.c_int,  # stats_out, verbose
             ctypes.c_int64, ctypes.c_int64,  # skip_reads, max_reads
+            ctypes.c_int,  # out_bam
         ]
 
         _LIBS["_engine"] = lib

@@ -25,9 +25,11 @@
 #include <cstdio>
 #include <cstdlib>
 #include <cstring>
+#include <cctype>
 #include <mutex>
 #include <string>
 #include <thread>
+#include <unordered_map>
 #include <vector>
 
 #include <sys/mman.h>
@@ -2801,6 +2803,231 @@ struct StreamBatch {
   int max_len = 1;
 };
 
+// ---------------------------------------------------------------------------
+// native BAM output (io/bam.py port): SAM-text -> binary records + BGZF.
+// Record layout and aux-type narrowing mirror the Python BamWriter exactly,
+// so both paths produce identical uncompressed BAM payloads (BGZF block
+// boundaries differ; workers compress their own batches in parallel).
+// ---------------------------------------------------------------------------
+
+const uint8_t BGZF_EOF_BLOCK[28] = {
+  0x1f, 0x8b, 0x08, 0x04, 0x00, 0x00, 0x00, 0x00, 0x00, 0xff, 0x06, 0x00,
+  0x42, 0x43, 0x02, 0x00, 0x1b, 0x00, 0x03, 0x00, 0x00, 0x00, 0x00, 0x00,
+  0x00, 0x00, 0x00, 0x00};
+
+// compresses payload into <= 65000-byte BGZF members appended to out
+void bgzf_compress(const char *payload, size_t n, std::string &out) {
+  size_t off = 0;
+  std::vector<unsigned char> cbuf(1 << 17);
+  do {
+    const size_t chunk = std::min<size_t>(65000, n - off);
+    z_stream zs;
+    std::memset(&zs, 0, sizeof(zs));
+    deflateInit2(&zs, 6, Z_DEFLATED, -15, 8, Z_DEFAULT_STRATEGY);
+    zs.next_in = (Bytef *)(payload + off);
+    zs.avail_in = (uInt)chunk;
+    zs.next_out = cbuf.data();
+    zs.avail_out = (uInt)cbuf.size();
+    deflate(&zs, Z_FINISH);
+    const size_t clen = cbuf.size() - zs.avail_out;
+    deflateEnd(&zs);
+    const uint32_t crc =
+      crc32(crc32(0, nullptr, 0), (const Bytef *)(payload + off),
+            (uInt)chunk);
+    const uint16_t bsize = (uint16_t)(clen + 25);  // total block size - 1
+    char hdr[18] = {0x1f, (char)0x8b, 0x08, 0x04, 0, 0, 0, 0, 0, 0};
+    hdr[10] = 6;  // XLEN
+    hdr[12] = 'B';
+    hdr[13] = 'C';
+    hdr[14] = 2;
+    std::memcpy(hdr + 16, &bsize, 2);
+    out.append(hdr, 18);
+    out.append((const char *)cbuf.data(), clen);
+    const uint32_t isize = (uint32_t)chunk;
+    out.append((const char *)&crc, 4);
+    out.append((const char *)&isize, 4);
+    off += chunk;
+  } while (off < n);
+}
+
+struct Nt16Table {
+  uint8_t t[256];
+  Nt16Table() {
+    const char *s = "=ACMGRSVTWYHKDBN";
+    for (int i = 0; i < 256; ++i)
+      t[i] = 15;
+    for (int i = 0; i < 16; ++i) {
+      t[(uint8_t)s[i]] = (uint8_t)i;
+      t[(uint8_t)std::tolower(s[i])] = (uint8_t)i;
+    }
+  }
+};
+const Nt16Table NT16;
+
+inline int bam_reg2bin(int64_t beg, int64_t end) {
+  --end;
+  if (beg >> 14 == end >> 14)
+    return (int)(((1 << 15) - 1) / 7 + (beg >> 14));
+  if (beg >> 17 == end >> 17)
+    return (int)(((1 << 12) - 1) / 7 + (beg >> 17));
+  if (beg >> 20 == end >> 20)
+    return (int)(((1 << 9) - 1) / 7 + (beg >> 20));
+  if (beg >> 23 == end >> 23)
+    return (int)(((1 << 6) - 1) / 7 + (beg >> 23));
+  if (beg >> 26 == end >> 26)
+    return (int)(((1 << 3) - 1) / 7 + (beg >> 26));
+  return 0;
+}
+
+inline void put_i32(std::string &o, int32_t v) {
+  o.append((const char *)&v, 4);
+}
+
+// converts one batch of SAM text lines into BAM record payload bytes;
+// ref_idx maps RNAME -> refID.  Returns false on a malformed line (cannot
+// happen for our own formatter's output; defensive).
+bool sam_text_to_bam(const std::string &text,
+                     const std::unordered_map<std::string, int> &ref_idx,
+                     std::string &payload) {
+  const char *p = text.data();
+  const char *end = p + text.size();
+  std::string name_b;
+  while (p < end) {
+    const char *nl = (const char *)memchr(p, '\n', end - p);
+    if (!nl)
+      nl = end;
+    // split into 11+ tab fields
+    const char *f[14];
+    int nf = 0;
+    f[nf++] = p;
+    for (const char *q = p; q < nl && nf < 14; ++q)
+      if (*q == '\t')
+        f[nf++] = q + 1;
+    if (nf < 11)
+      return false;
+    auto fl = [&](int i) {  // length of field i
+      const char *e = (i + 1 < nf) ? f[i + 1] - 1 : nl;
+      return (size_t)(e - f[i]);
+    };
+    auto fint = [&](int i) { return atoll(std::string(f[i], fl(i)).c_str()); };
+    const std::string rname(f[2], fl(2));
+    int refid = -1;
+    if (rname != "*") {
+      auto it = ref_idx.find(rname);
+      refid = it == ref_idx.end() ? -1 : it->second;
+    }
+    const int64_t pos0 = fint(3) - 1;
+    int next_refid = -1;
+    if (fl(6) == 1 && f[6][0] == '=')
+      next_refid = refid;
+    else if (!(fl(6) == 1 && f[6][0] == '*')) {
+      auto it = ref_idx.find(std::string(f[6], fl(6)));
+      next_refid = it == ref_idx.end() ? -1 : it->second;
+    }
+    // cigar
+    std::vector<uint32_t> cig;
+    int64_t ref_len = 0;
+    if (!(fl(5) == 1 && f[5][0] == '*')) {
+      uint32_t v = 0;
+      for (const char *q = f[5]; q < f[5] + fl(5); ++q) {
+        if (*q >= '0' && *q <= '9')
+          v = v * 10 + (uint32_t)(*q - '0');
+        else {
+          static const char *ops = "MIDNSHP=XB";
+          const uint32_t op =
+            (uint32_t)(strchr(ops, *q) - ops);
+          cig.push_back((v << 4) | op);
+          if (op == 0 || op == 2 || op == 3 || op == 7 || op == 8)
+            ref_len += v;
+          v = 0;
+        }
+      }
+    }
+    const int bam_bin =
+      bam_reg2bin(pos0, pos0 + std::max<int64_t>(ref_len, 1));
+    name_b.assign(f[0], fl(0));
+    name_b.push_back('\0');
+    const bool seq_star = fl(9) == 1 && f[9][0] == '*';
+    const int32_t l_seq = seq_star ? 0 : (int32_t)fl(9);
+    const size_t body_start = payload.size() + 4;
+    put_i32(payload, 0);  // block_size placeholder
+    put_i32(payload, refid);
+    put_i32(payload, (int32_t)pos0);
+    const uint8_t bfields[4] = {(uint8_t)name_b.size(),
+                                (uint8_t)fint(4),  // mapq
+                                (uint8_t)(bam_bin & 0xFF),
+                                (uint8_t)(bam_bin >> 8)};
+    payload.append((const char *)bfields, 4);
+    const uint16_t n_cig = (uint16_t)cig.size();
+    const uint16_t flag = (uint16_t)fint(1);
+    payload.append((const char *)&n_cig, 2);
+    payload.append((const char *)&flag, 2);
+    put_i32(payload, l_seq);
+    put_i32(payload, next_refid);
+    put_i32(payload, (int32_t)(fint(7) - 1));  // next_pos
+    put_i32(payload, (int32_t)fint(8));        // tlen
+    payload += name_b;
+    payload.append((const char *)cig.data(), 4 * cig.size());
+    for (int32_t i = 0; i < l_seq; i += 2) {
+      uint8_t v = (uint8_t)(NT16.t[(uint8_t)f[9][i]] << 4);
+      if (i + 1 < l_seq)
+        v |= NT16.t[(uint8_t)f[9][i + 1]];
+      payload.push_back((char)v);
+    }
+    const bool qual_star = fl(10) == 1 && f[10][0] == '*';
+    for (int32_t i = 0; i < l_seq; ++i)
+      payload.push_back(qual_star ? (char)0xFF
+                                  : (char)(f[10][i] - 33));
+    // aux tags (same smallest-signed/unsigned narrowing as io/bam.py)
+    for (int i = 11; i < nf; ++i) {
+      const char *t = f[i];
+      const size_t tn = fl(i);
+      if (tn < 5)
+        return false;
+      payload.push_back(t[0]);
+      payload.push_back(t[1]);
+      if (t[3] == 'i') {
+        const int64_t v = atoll(std::string(t + 5, tn - 5).c_str());
+        if (v >= 0 && v <= 255) {
+          payload.push_back('C');
+          payload.push_back((char)(uint8_t)v);
+        }
+        else if (v >= -128 && v <= 127) {
+          payload.push_back('c');
+          payload.push_back((char)(int8_t)v);
+        }
+        else if (v >= 0 && v <= 65535) {
+          payload.push_back('S');
+          const uint16_t u = (uint16_t)v;
+          payload.append((const char *)&u, 2);
+        }
+        else if (v >= -32768 && v <= 32767) {
+          payload.push_back('s');
+          const int16_t u = (int16_t)v;
+          payload.append((const char *)&u, 2);
+        }
+        else {
+          payload.push_back('i');
+          put_i32(payload, (int32_t)v);
+        }
+      }
+      else if (t[3] == 'A') {
+        payload.push_back('A');
+        payload.push_back(t[5]);
+      }
+      else {
+        payload.push_back('Z');
+        payload.append(t + 5, tn - 5);
+        payload.push_back('\0');
+      }
+    }
+    const int32_t block_size = (int32_t)(payload.size() - body_start);
+    std::memcpy(&payload[body_start - 4], &block_size, 4);
+    p = nl + 1;
+  }
+  return true;
+}
+
 // one FASTQ record batch with the reference cleaning rules
 // (io/fastq.py clean_read; abismal.cpp:164-201).  0 = ok, -1 = error.
 int parse_batch(GzLines &in, const char *path, int64_t batch_size,
@@ -2875,6 +3102,8 @@ struct StreamCtl {
   int64_t n_reads = 0;
   int64_t remaining = -1;  // shard read budget; < 0 = unlimited
   FILE *out = nullptr;
+  bool bam = false;
+  std::unordered_map<std::string, int> ref_idx;  // RNAME -> BAM refID
   // progress
   bool tty = false;
   int verbose = 0;
@@ -2906,9 +3135,13 @@ void stream_progress(StreamCtl &C, int64_t bpos) {
 }
 
 void stream_init(Engine &E, StreamCtl &C, const char *fq1, FILE *out,
-                 int n_threads, int verbose) {
+                 int n_threads, int verbose, int out_bam) {
   C.out = out;
   C.verbose = verbose;
+  C.bam = out_bam != 0;
+  if (C.bam)
+    for (int64_t i = 1; i + 1 < E.n_chroms; ++i)
+      C.ref_idx.emplace(E.names[i], (int)(i - 1));
   C.tty = verbose && isatty(2);
   struct stat st;
   if (stat(fq1, &st) == 0)
@@ -2956,7 +3189,7 @@ int64_t engine_run_se(void *eng, const char *fq_path, const char *out_path,
                       const uint8_t *header, int64_t header_len,
                       int a_rich_mode, int random_pbat, int64_t batch_size,
                       int n_threads, int64_t *stats_out, int verbose,
-                      int64_t skip_reads, int64_t max_reads) {
+                      int64_t skip_reads, int64_t max_reads, int out_bam) {
   Engine &E = *(Engine *)eng;
   E.err.clear();
   GzLines in(fq_path);
@@ -2971,10 +3204,19 @@ int64_t engine_run_se(void *eng, const char *fq_path, const char *out_path,
     E.err = std::string("cannot open output file: ") + out_path;
     return -1;
   }
-  fwrite(header, 1, header_len, out);
+  if (out_bam) {
+    // `header` holds the uncompressed BAM header payload (magic + text +
+    // reference list, built host-side); BGZF-compress it here
+    std::string hz;
+    bgzf_compress((const char *)header, (size_t)header_len, hz);
+    fwrite(hz.data(), 1, hz.size(), out);
+  }
+  else {
+    fwrite(header, 1, header_len, out);
+  }
   n_threads = std::max(1, n_threads);
   StreamCtl C;
-  stream_init(E, C, fq_path, out, n_threads, verbose);
+  stream_init(E, C, fq_path, out, n_threads, verbose, out_bam);
   C.remaining = max_reads;
   const Events ev{};
 
@@ -3022,11 +3264,20 @@ int64_t engine_run_se(void *eng, const char *fq_path, const char *out_path,
                        (int)(b.roffs[ri + 1] - b.roffs[ri]),
                        a_rich_mode != 0, random_pbat != 0);
         }
+        std::string bam_blocks;
+        if (C.bam && !C.failed && b.n && !w.out.empty()) {
+          std::string payload;
+          if (sam_text_to_bam(w.out, C.ref_idx, payload))
+            bgzf_compress(payload.data(), payload.size(), bam_blocks);
+        }
         {
           std::unique_lock<std::mutex> lk(C.write_mtx);
           C.cv.wait(lk, [&] { return C.next_write == my_seq; });
           if (!C.failed && b.n) {
-            fwrite(w.out.data(), 1, w.out.size(), C.out);
+            if (C.bam)
+              fwrite(bam_blocks.data(), 1, bam_blocks.size(), C.out);
+            else
+              fwrite(w.out.data(), 1, w.out.size(), C.out);
             C.n_reads += b.n;
             stream_progress(C, bpos);
           }
@@ -3042,6 +3293,8 @@ int64_t engine_run_se(void *eng, const char *fq_path, const char *out_path,
     C.prev_pct = 99;  // force the 100% line
     stream_progress(C, C.total_bytes);
   }
+  if (C.bam && !C.failed)
+    fwrite(BGZF_EOF_BLOCK, 1, sizeof(BGZF_EOF_BLOCK), out);
   fclose(out);
   if (C.failed) {
     E.err = C.err;
@@ -3056,7 +3309,8 @@ int64_t engine_run_pe(void *eng, const char *fq1_path, const char *fq2_path,
                       const char *out_path, const uint8_t *header,
                       int64_t header_len, int a_rich_mode, int random_pbat,
                       int64_t batch_size, int n_threads, int64_t *stats_out,
-                      int verbose, int64_t skip_reads, int64_t max_reads) {
+                      int verbose, int64_t skip_reads, int64_t max_reads,
+                      int out_bam) {
   Engine &E = *(Engine *)eng;
   E.err.clear();
   GzLines in1(fq1_path), in2(fq2_path);
@@ -3074,10 +3328,19 @@ int64_t engine_run_pe(void *eng, const char *fq1_path, const char *fq2_path,
     E.err = std::string("cannot open output file: ") + out_path;
     return -1;
   }
-  fwrite(header, 1, header_len, out);
+  if (out_bam) {
+    // `header` holds the uncompressed BAM header payload (magic + text +
+    // reference list, built host-side); BGZF-compress it here
+    std::string hz;
+    bgzf_compress((const char *)header, (size_t)header_len, hz);
+    fwrite(hz.data(), 1, hz.size(), out);
+  }
+  else {
+    fwrite(header, 1, header_len, out);
+  }
   n_threads = std::max(1, n_threads);
   StreamCtl C;
-  stream_init(E, C, fq1_path, out, n_threads, verbose);
+  stream_init(E, C, fq1_path, out, n_threads, verbose, out_bam);
   C.remaining = max_reads;
   const Events ev{};
 
@@ -3139,11 +3402,20 @@ int64_t engine_run_pe(void *eng, const char *fq1_path, const char *fq2_path,
                        (int)(b2.roffs[ri + 1] - b2.roffs[ri]),
                        a_rich_mode != 0, random_pbat != 0);
         }
+        std::string bam_blocks;
+        if (C.bam && !C.failed && b1.n && !w.out.empty()) {
+          std::string payload;
+          if (sam_text_to_bam(w.out, C.ref_idx, payload))
+            bgzf_compress(payload.data(), payload.size(), bam_blocks);
+        }
         {
           std::unique_lock<std::mutex> lk(C.write_mtx);
           C.cv.wait(lk, [&] { return C.next_write == my_seq; });
           if (!C.failed && b1.n) {
-            fwrite(w.out.data(), 1, w.out.size(), C.out);
+            if (C.bam)
+              fwrite(bam_blocks.data(), 1, bam_blocks.size(), C.out);
+            else
+              fwrite(w.out.data(), 1, w.out.size(), C.out);
             C.n_reads += b1.n;
             stream_progress(C, bpos);
           }
@@ -3159,6 +3431,8 @@ int64_t engine_run_pe(void *eng, const char *fq1_path, const char *fq2_path,
     C.prev_pct = 99;
     stream_progress(C, C.total_bytes);
   }
+  if (C.bam && !C.failed)
+    fwrite(BGZF_EOF_BLOCK, 1, sizeof(BGZF_EOF_BLOCK), out);
   fclose(out);
   if (C.failed) {
     E.err = C.err;

@@ -236,3 +236,49 @@ def test_gzipped_fastq_input(tmp_path, trex1_index):
     body = lambda s: "\n".join(l for l in s.splitlines()
                                if not l.startswith("@PG"))
     assert body(sam.read_text()) == body(_read_golden("small.sam"))
+
+
+def test_native_bam_payload_matches_python_writer(tmp_path, trex1_index):
+    """The native streaming BAM writer's decompressed payload must equal
+    the Python BamWriter's byte for byte (same record layout and aux-type
+    narrowing; only BGZF block boundaries may differ)."""
+    import gzip
+    import io
+    import os
+    import shutil
+
+    from tests.conftest import GOLDEN
+
+    from abismal_tpu.io.bam import BamWriter
+    from abismal_tpu.io.fastq import ReadLoader
+    from abismal_tpu.io.sam import make_sam_header
+    from abismal_tpu.map.engine import run_map
+    from abismal_tpu.map.native_engine import NativeMappingEngine
+    from abismal_tpu.map.pipeline import make_native_engine_factory
+    from abismal_tpu.map.stats import SEStats
+
+    fq = str(tmp_path / "small_1.fq")
+    with gzip.open(os.path.join(GOLDEN, "small_1.fq.gz"), "rb") as f:
+        open(fq, "wb").write(f.read())
+
+    bam_n = tmp_path / "native.bam"
+    run_map(trex1_index, fq, None, str(bam_n), None, "map bam",
+            engine_factory=make_native_engine_factory(n_threads=2),
+            threads=2, bam=True)
+
+    eng = NativeMappingEngine(trex1_index, n_threads=2)
+    bam_p = tmp_path / "python.bam"
+    w = BamWriter(str(bam_p))
+    w.write(make_sam_header(trex1_index.cl, "map bam"))
+    st = SEStats()
+    rl = ReadLoader(fq)
+    while rl:
+        b = rl.load_batch()
+        if b:
+            out = io.StringIO()
+            eng.map_se_reads(b, False, False, st, out)
+            w.write(out.getvalue())
+    w.close()
+
+    assert gzip.decompress(bam_n.read_bytes()) == \
+        gzip.decompress(bam_p.read_bytes())

@@ -72,7 +72,7 @@ def main():
     run_once()  # warmup: engine construction + device compile
     native = eng if hasattr(eng, "lib") else eng.native
     native.lib.engine_set_profile(native._ctx, 1)
-    ns = np.zeros(12, dtype=np.int64)
+    ns = np.zeros(16, dtype=np.int64)
     native.lib.engine_stage_ns(native._ctx, ns.ctypes.data, 1)  # reset
     if hasattr(eng, "stage_time"):
         for k in eng.stage_time:
