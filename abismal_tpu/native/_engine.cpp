@@ -2945,6 +2945,8 @@ bool sam_text_to_bam(const std::string &text,
     }
     const int bam_bin =
       bam_reg2bin(pos0, pos0 + std::max<int64_t>(ref_len, 1));
+    if (fl(0) > 254)
+      return false;  // l_read_name is a u8 (BAM spec)
     name_b.assign(f[0], fl(0));
     name_b.push_back('\0');
     const bool seq_star = fl(9) == 1 && f[9][0] == '*';
@@ -3265,14 +3267,20 @@ int64_t engine_run_se(void *eng, const char *fq_path, const char *out_path,
                        a_rich_mode != 0, random_pbat != 0);
         }
         std::string bam_blocks;
+        bool bam_ok = true;
         if (C.bam && !C.failed && b.n && !w.out.empty()) {
           std::string payload;
-          if (sam_text_to_bam(w.out, C.ref_idx, payload))
+          bam_ok = sam_text_to_bam(w.out, C.ref_idx, payload);
+          if (bam_ok)
             bgzf_compress(payload.data(), payload.size(), bam_blocks);
         }
         {
           std::unique_lock<std::mutex> lk(C.write_mtx);
           C.cv.wait(lk, [&] { return C.next_write == my_seq; });
+          if (!bam_ok && !C.failed) {
+            C.failed = true;
+            C.err = "BAM conversion failed (read name over 254 chars?)";
+          }
           if (!C.failed && b.n) {
             if (C.bam)
               fwrite(bam_blocks.data(), 1, bam_blocks.size(), C.out);
@@ -3403,14 +3411,20 @@ int64_t engine_run_pe(void *eng, const char *fq1_path, const char *fq2_path,
                        a_rich_mode != 0, random_pbat != 0);
         }
         std::string bam_blocks;
+        bool bam_ok = true;
         if (C.bam && !C.failed && b1.n && !w.out.empty()) {
           std::string payload;
-          if (sam_text_to_bam(w.out, C.ref_idx, payload))
+          bam_ok = sam_text_to_bam(w.out, C.ref_idx, payload);
+          if (bam_ok)
             bgzf_compress(payload.data(), payload.size(), bam_blocks);
         }
         {
           std::unique_lock<std::mutex> lk(C.write_mtx);
           C.cv.wait(lk, [&] { return C.next_write == my_seq; });
+          if (!bam_ok && !C.failed) {
+            C.failed = true;
+            C.err = "BAM conversion failed (read name over 254 chars?)";
+          }
           if (!C.failed && b1.n) {
             if (C.bam)
               fwrite(bam_blocks.data(), 1, bam_blocks.size(), C.out);
