@@ -301,10 +301,22 @@ def _build_from_genome_native(genome: np.ndarray, cl, n_threads: int = 1,
     n = genome.shape[0]
 
     _stage(verbose, "cleaning reference genome")
-    exclude = [(s, e) for s, e in contiguous_n(genome) if e - s > MAX_N_COUNT]
-    replace_included_n(genome, exclude)
-    exc_s = np.asarray([s for s, _ in exclude], dtype=np.int64)
-    exc_e = np.asarray([e for _, e in exclude], dtype=np.int64)
+    # one native pass (N-run detection + LCG replacement in place); the
+    # numpy contiguous_n/replace_included_n pair is the tested oracle but
+    # allocates several genome-sized temporaries
+    cap = 65536
+    while True:
+        exc_s = np.empty(cap, dtype=np.int64)
+        exc_e = np.empty(cap, dtype=np.int64)
+        n_exc = int(lib.index_clean_genome(
+            genome.ctypes.data, n, MAX_N_COUNT, exc_s.ctypes.data,
+            exc_e.ctypes.data, cap))
+        if n_exc <= cap:
+            break
+        cap = n_exc
+    exc_s = exc_s[:n_exc].copy()
+    exc_e = exc_e[:n_exc].copy()
+    exclude = list(zip(exc_s.tolist(), exc_e.tolist()))
 
     _stage(verbose, "encoding genome")
     nibbles = encode_genome_nibbles(genome)

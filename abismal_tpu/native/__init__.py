@@ -43,6 +43,12 @@ def get_lib() -> ctypes.CDLL:
             ctypes.c_uint32, ctypes.c_int64, ctypes.c_void_p,
         ]
 
+        lib.index_clean_genome.restype = ctypes.c_int64
+        lib.index_clean_genome.argtypes = [
+            ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64,  # genome, n, max
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64,  # exc out, cap
+        ]
+
         lib.compress_dp_blocks.restype = None
         lib.compress_dp_blocks.argtypes = [
             ctypes.c_void_p,  # nibbles

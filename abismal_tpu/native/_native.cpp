@@ -40,6 +40,52 @@ lcg_random_bases(uint32_t state, int64_t n, uint8_t *out) {
 }
 
 // ---------------------------------------------------------------------------
+// One-pass genome cleaning (AbismalIndex.cpp:125-175): finds maximal 'N'
+// runs; runs longer than max_n_count become exclude intervals (bases left
+// untouched), shorter runs are replaced in place with the deterministic
+// LCG stream (seed 1, advanced once per replaced base in increasing
+// position order) -- identical to contiguous_n + replace_included_n over
+// GB-scale numpy temporaries, without the temporaries.  Writes up to
+// `cap` exclude intervals into exc_s/exc_e; returns the interval count
+// (call again with a bigger cap if it exceeds cap).
+// ---------------------------------------------------------------------------
+int64_t
+index_clean_genome(uint8_t *genome, int64_t n, int64_t max_n_count,
+                   int64_t *exc_s, int64_t *exc_e, int64_t cap) {
+  static const char bases[4] = {'A', 'C', 'G', 'T'};
+  uint32_t state = 1;
+  int64_t n_exc = 0;
+  int64_t i = 0;
+  while (i < n) {
+    if (genome[i] != 'N') {
+      // skip non-N quickly (memchr finds the next run start)
+      const void *p = memchr(genome + i, 'N', (size_t)(n - i));
+      if (!p)
+        break;
+      i = (const uint8_t *)p - genome;
+    }
+    int64_t j = i;
+    while (j < n && genome[j] == 'N')
+      ++j;
+    if (j - i > max_n_count) {
+      if (n_exc < cap) {
+        exc_s[n_exc] = i;
+        exc_e[n_exc] = j;
+      }
+      ++n_exc;
+    }
+    else {
+      for (int64_t k = i; k < j; ++k) {
+        state = (1103515245u * state + 12345u) & 0x7fffffffu;
+        genome[k] = (uint8_t)bases[state & 3u];
+      }
+    }
+    i = j;
+  }
+  return n_exc;
+}
+
+// ---------------------------------------------------------------------------
 // Windowed seed-selection DP ("compress"): for each block, minimize the
 // total expected candidate cost subject to every window of `window`
 // consecutive positions keeping at least one indexed position.
