@@ -319,8 +319,15 @@ def _build_from_genome_native(genome: np.ndarray, cl, n_threads: int = 1,
     exclude = list(zip(exc_s.tolist(), exc_e.tolist()))
 
     _stage(verbose, "encoding genome")
-    nibbles = encode_genome_nibbles(genome)
-    genome_words = pack_nibbles_u64(nibbles)
+    # fused native encode+pack (one pass, threaded; the numpy gather +
+    # strided packing are the oracle, kept for the numpy build below)
+    from ..utils.dna import ENCODE_GENOME
+
+    nibbles = np.empty(n, dtype=np.uint8)
+    genome_words = np.empty((n + 15) // 16, dtype=np.uint64)
+    lib.encode_pack_genome(
+        genome.ctypes.data, n, np.ascontiguousarray(ENCODE_GENOME).ctypes.data,
+        nibbles.ctypes.data, genome_words.ctypes.data, max(1, n_threads))
     del genome
 
     _stage(verbose, "computing bucket sizes")

@@ -49,6 +49,12 @@ def get_lib() -> ctypes.CDLL:
             ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64,  # exc out, cap
         ]
 
+        lib.encode_pack_genome.restype = None
+        lib.encode_pack_genome.argtypes = [
+            ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p,  # ascii/n/table
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int,  # nib/words/thr
+        ]
+
         lib.compress_dp_blocks.restype = None
         lib.compress_dp_blocks.argtypes = [
             ctypes.c_void_p,  # nibbles

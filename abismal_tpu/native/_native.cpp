@@ -21,6 +21,8 @@
 #include <cstring>
 #include <limits>
 #include <string>
+#include <atomic>
+#include <thread>
 #include <vector>
 
 extern "C" {
@@ -83,6 +85,49 @@ index_clean_genome(uint8_t *genome, int64_t n, int64_t max_n_count,
     i = j;
   }
   return n_exc;
+}
+
+// ---------------------------------------------------------------------------
+// Fused genome encode + pack (dna_four_bit_bisulfite.hpp:169-187): ASCII ->
+// per-base nibbles AND 16-base/u64 packed words in one threaded pass (the
+// numpy table-gather + strided packing costs several genome-sized
+// temporaries and strided stores at hg38 scale).  The caller passes the
+// table (utils/dna.py ENCODE_GENOME) so the quirk source of truth stays in
+// one place.  words_out has ceil(n/16) entries; tail nibbles are zero.
+// ---------------------------------------------------------------------------
+void
+encode_pack_genome(const uint8_t *ascii, int64_t n, const uint8_t *table,
+                   uint8_t *nib_out, uint64_t *words_out, int n_threads) {
+  const int64_t n_words = (n + 15) / 16;
+  if (n_threads < 1)
+    n_threads = 1;
+  std::vector<std::thread> ts;
+  std::atomic<int64_t> next(0);
+  const int64_t block_w = 1 << 18;  // words per work unit (4 Mb of genome)
+  auto worker = [&]() {
+    for (;;) {
+      const int64_t bw = next.fetch_add(1);
+      const int64_t w0 = bw * block_w;
+      if (w0 >= n_words)
+        return;
+      const int64_t w1 = std::min(n_words, w0 + block_w);
+      for (int64_t w = w0; w < w1; ++w) {
+        const int64_t base = w * 16;
+        const int64_t lim = std::min<int64_t>(16, n - base);
+        uint64_t word = 0;
+        for (int64_t k = 0; k < lim; ++k) {
+          const uint8_t v = table[ascii[base + k]];
+          nib_out[base + k] = v;
+          word |= (uint64_t)v << (4 * k);
+        }
+        words_out[w] = word;
+      }
+    }
+  };
+  for (int t = 0; t < n_threads; ++t)
+    ts.emplace_back(worker);
+  for (auto &t : ts)
+    t.join();
 }
 
 // ---------------------------------------------------------------------------
