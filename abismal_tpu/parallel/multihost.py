@@ -72,13 +72,13 @@ def map_shard(index_path: str, reads_file1: str, reads_file2,
         n = eng.lib.engine_run_se(
             eng._ctx, reads_file1.encode(), out_shard.encode(), hdr,
             len(hdr), int(a_rich_mode), int(random_pbat), 1000,
-            eng.n_threads, _ptr(st), 0, int(skip), int(count))
+            eng.n_threads, _ptr(st), 0, int(skip), int(count), 0)
     else:
         n = eng.lib.engine_run_pe(
             eng._ctx, reads_file1.encode(), reads_file2.encode(),
             out_shard.encode(), hdr, len(hdr), int(a_rich_mode),
             int(random_pbat), 1000, eng.n_threads, _ptr(st), 0,
-            int(skip), int(count))
+            int(skip), int(count), 0)
     if n < 0:
         raise RuntimeError(eng.lib.engine_error_ptr(eng._ctx).decode())
     return st.tolist()
