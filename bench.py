@@ -80,15 +80,18 @@ def _bench_mode(mode: str) -> float:
 
 
 def _run_child(mode: str, deadline: float | None):
-    try:
-        p = subprocess.run(
-            [sys.executable, os.path.abspath(__file__), "--mode", mode],
-            capture_output=True, text=True, timeout=deadline)
-        for line in p.stdout.splitlines():
-            if line.startswith("{"):
-                return json.loads(line)["reads_per_s"]
-    except (subprocess.TimeoutExpired, OSError):
-        pass
+    # two attempts: this host's PJRT plugin registration (sitecustomize)
+    # can rarely crash a fresh interpreter at import time
+    for _ in range(2):
+        try:
+            p = subprocess.run(
+                [sys.executable, os.path.abspath(__file__), "--mode", mode],
+                capture_output=True, text=True, timeout=deadline)
+            for line in p.stdout.splitlines():
+                if line.startswith("{"):
+                    return json.loads(line)["reads_per_s"]
+        except (subprocess.TimeoutExpired, OSError):
+            pass
     return None
 
 
