@@ -203,9 +203,34 @@ compress_dp_blocks(const uint8_t *nib,    // genome nibbles, full length
     qidx.assign(cbs + 1, 0);
     qcost.assign(cbs + 1, 0);
 
+    // lookahead rollers D positions ahead prefetch the random count reads
+    // (same spool rules as the main rollers, advanced D extra steps)
+    const uint64_t D = 16;
+    uint32_t h2f = h2, htf = ht, haf = ha;
+    uint64_t i2f = m2, i3f = KEY_WEIGHT_THREE - 1;
+    for (uint64_t j = 0; j < std::min<uint64_t>(D, cbs); ++j) {
+      h2f = ((h2f << 1) | nib_bit(nib[bs + i2f++])) & HASH_MASK;
+      const uint8_t xf = nib[bs + i3f++];
+      htf = (htf * 3 + nib_three_ct(xf)) % HASH_MASK_THREE;
+      haf = (haf * 3 + nib_three_ga(xf)) % HASH_MASK_THREE;
+    }
+
     uint64_t i2 = m2;                      // next two-letter symbol offset
     uint64_t i3 = KEY_WEIGHT_THREE - 1;    // next three-letter symbol offset
     for (uint64_t p = 0; p < cbs; ++p) {
+      if (p + D < cbs) {
+        h2f = ((h2f << 1) | nib_bit(nib[bs + i2f++])) & HASH_MASK;
+        const uint8_t xf = nib[bs + i3f++];
+        htf = (htf * 3 + nib_three_ct(xf)) % HASH_MASK_THREE;
+        haf = (haf * 3 + nib_three_ga(xf)) % HASH_MASK_THREE;
+        if (itl[bs + p + D]) {
+          __builtin_prefetch(counter + h2f);
+        }
+        else {
+          __builtin_prefetch(counter_t + htf);
+          __builtin_prefetch(counter_a + haf);
+        }
+      }
       h2 = ((h2 << 1) | nib_bit(nib[bs + i2++])) & HASH_MASK;
       const uint8_t x3 = nib[bs + i3++];
       ht = (ht * 3 + nib_three_ct(x3)) % HASH_MASK_THREE;
@@ -957,23 +982,51 @@ index_count_hashes(const uint8_t *nib, int64_t n, const int64_t *exc_s,
                    uint32_t *cnt3a) {
   const int64_t lim2 = n - KEY_WEIGHT + 1;
   const int64_t lim3 = keep ? lim2 : n - KEY_WEIGHT_THREE + 1;
+  // each increment is a read-modify-write cache miss into a 128-344 MB
+  // array; a FIFO ring defers it 32 keys so the line is prefetched by
+  // the time it's touched (sums are commutative, so the deferred order
+  // is immaterial)
+  struct DeferInc {
+    uint32_t *cnt;
+    uint32_t ring[32];
+    int head = 0, filled = 0;
+    inline void add(uint32_t k) {
+      __builtin_prefetch(cnt + k, 1);
+      if (filled == 32)
+        ++cnt[ring[head]];
+      else
+        ++filled;
+      ring[head] = k;
+      head = (head + 1) & 31;
+    }
+    void drain() {
+      for (int i = 0; i < filled; ++i)
+        ++cnt[ring[(head + 32 - filled + i) & 31]];
+    }
+  };
   std::thread t1([&]() {
     std::memset(cnt2, 0, sizeof(uint32_t) * (IDX_N_BUCKETS_TWO + 1));
+    DeferInc di{cnt2};
     scan_table<Roll2>(nib, lim2, KEY_WEIGHT - 1, exc_s, exc_e, n_exc, keep,
                       itl, keep ? 1 : -1,
-                      [&](int64_t, uint32_t k) { ++cnt2[k]; });
+                      [&](int64_t, uint32_t k) { di.add(k); });
+    di.drain();
   });
   std::thread t2([&]() {
     std::memset(cnt3t, 0, sizeof(uint32_t) * (IDX_N_BUCKETS_THREE + 1));
+    DeferInc di{cnt3t};
     scan_table<Roll3CT>(nib, lim3, KEY_WEIGHT_THREE - 1, exc_s, exc_e, n_exc,
                         keep, itl, keep ? 0 : -1,
-                        [&](int64_t, uint32_t k) { ++cnt3t[k]; });
+                        [&](int64_t, uint32_t k) { di.add(k); });
+    di.drain();
   });
   std::thread t3([&]() {
     std::memset(cnt3a, 0, sizeof(uint32_t) * (IDX_N_BUCKETS_THREE + 1));
+    DeferInc di{cnt3a};
     scan_table<Roll3GA>(nib, lim3, KEY_WEIGHT_THREE - 1, exc_s, exc_e, n_exc,
                         keep, itl, keep ? 0 : -1,
-                        [&](int64_t, uint32_t k) { ++cnt3a[k]; });
+                        [&](int64_t, uint32_t k) { di.add(k); });
+    di.drain();
   });
   t1.join();
   t2.join();
@@ -994,9 +1047,9 @@ index_select_two_letter(const uint8_t *nib, const uint32_t *cnt2,
       const int64_t b = next.fetch_add(1);
       if (b >= n_blocks)
         return;
-      Roll2 r2;
-      Roll3CT rt;
-      Roll3GA ra;
+      Roll2 r2, r2f;
+      Roll3CT rt, rtf;
+      Roll3GA ra, raf;
       const int64_t s = bs[b], e = be[b];
       for (int64_t j = s; j < s + KEY_WEIGHT - 1; ++j)
         r2.push(nib[j]);
@@ -1004,7 +1057,26 @@ index_select_two_letter(const uint8_t *nib, const uint32_t *cnt2,
         rt.push(nib[j]);
         ra.push(nib[j]);
       }
+      // lookahead rollers D positions ahead prefetch the three random
+      // count reads (the stage is otherwise one cache miss per read)
+      const int64_t D = 16;
+      if (e - s > D) {
+        for (int64_t j = s + D; j < s + D + KEY_WEIGHT - 1; ++j)
+          r2f.push(nib[j]);
+        for (int64_t j = s + D; j < s + D + KEY_WEIGHT_THREE - 1; ++j) {
+          rtf.push(nib[j]);
+          raf.push(nib[j]);
+        }
+      }
       for (int64_t p = s; p < e; ++p) {
+        if (p + D < e) {
+          r2f.push(nib[p + D + KEY_WEIGHT - 1]);
+          rtf.push(nib[p + D + KEY_WEIGHT_THREE - 1]);
+          raf.push(nib[p + D + KEY_WEIGHT_THREE - 1]);
+          __builtin_prefetch(cnt2 + r2f.h);
+          __builtin_prefetch(cnt3t + rtf.h);
+          __builtin_prefetch(cnt3a + raf.h);
+        }
         r2.push(nib[p + KEY_WEIGHT - 1]);
         rt.push(nib[p + KEY_WEIGHT_THREE - 1]);
         ra.push(nib[p + KEY_WEIGHT_THREE - 1]);
@@ -1063,9 +1135,31 @@ index_fill_and_sort(const uint8_t *nib, int64_t n, const int64_t *exc_s,
   auto fill = [&](const uint32_t *counter, int64_t n_buckets, uint32_t *out,
                   int want_itl, auto roll, int64_t warm) {
     std::vector<uint32_t> ctr(counter + 1, counter + n_buckets + 1);
+    // FIFO-deferred stores (same trick as the counting pass): prefetch
+    // the bucket cursor line 32 keys ahead of the read-modify-write;
+    // FIFO order keeps the back-to-front fill order bit-exact
+    struct E {
+      uint32_t k, p;
+    };
+    E ring[32];
+    int head = 0, filled = 0;
+    auto step = [&](int64_t p, uint32_t k) {
+      __builtin_prefetch(ctr.data() + k, 1);
+      if (filled == 32) {
+        const E &e = ring[head];
+        out[--ctr[e.k]] = e.p;
+      }
+      else
+        ++filled;
+      ring[head] = E{k, (uint32_t)p};
+      head = (head + 1) & 31;
+    };
     scan_table<decltype(roll)>(
-      nib, lim2, warm, exc_s, exc_e, n_exc, keep, itl, want_itl,
-      [&](int64_t p, uint32_t k) { out[--ctr[k]] = (uint32_t)p; });
+      nib, lim2, warm, exc_s, exc_e, n_exc, keep, itl, want_itl, step);
+    for (int i = 0; i < filled; ++i) {
+      const E &e = ring[(head + 32 - filled + i) & 31];
+      out[--ctr[e.k]] = e.p;
+    }
   };
 
   std::thread f1([&]() {
