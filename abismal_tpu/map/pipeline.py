@@ -168,8 +168,14 @@ class DeviceIndexTP:
             self.index_local[s, self.P2 : self.P2 + it.shape[0]] = it
             self.index_local[s, self.P2 + self.P3
                              : self.P2 + self.P3 + ia.shape[0]] = ia
-            self.shardinfo[s] = [b2[s], b2[s + 1], bt[s], bt[s + 1],
-                                 ba[s], ba[s + 1], p2[s], pt[s], pa[s]]
+            # position-list bases wrap modulo 2^32 (explicit astype, not a
+            # Python-int assignment, which numpy>=2 would reject); the
+            # device rebases with int32 wraparound subtraction, so local
+            # offsets stay exact even when the GLOBAL lists exceed 2^31
+            # entries (the counter tables wrap the same way above)
+            self.shardinfo[s] = np.array(
+                [b2[s], b2[s + 1], bt[s], bt[s + 1], ba[s], ba[s + 1],
+                 p2[s], pt[s], pa[s]], dtype=np.int64).astype(np.int32)
         self.max_candidates = int(index.max_candidates)
 
 

@@ -2902,9 +2902,12 @@ bool sam_text_to_bam(const std::string &text,
     const char *f[14];
     int nf = 0;
     f[nf++] = p;
-    for (const char *q = p; q < nl && nf < 14; ++q)
-      if (*q == '\t')
+    for (const char *q = p; q < nl; ++q)
+      if (*q == '\t') {
+        if (nf == 14)
+          return false;  // more aux tags than the field table holds
         f[nf++] = q + 1;
+      }
     if (nf < 11)
       return false;
     auto fl = [&](int i) {  // length of field i
@@ -3101,7 +3104,9 @@ struct StreamCtl {
   std::mutex read_mtx, write_mtx;
   std::condition_variable cv;
   int64_t next_seq = 0, next_write = 0;
-  bool done = false, failed = false;
+  // read by workers between the two critical sections, so atomic
+  // (relaxed suffices: they only ever go false->true)
+  std::atomic<bool> done{false}, failed{false};
   std::string err;
   int64_t n_reads = 0;
   int64_t remaining = -1;  // shard read budget; < 0 = unlimited

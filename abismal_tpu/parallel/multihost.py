@@ -27,14 +27,19 @@ _SE_FIELDS = ("total_reads", "reads_mapped_unique", "reads_mapped_ambiguous",
 
 
 def count_reads(fastq_path: str) -> int:
-    """Number of FASTQ records (lines / 4), gz-aware."""
+    """Number of FASTQ records (lines / 4), gz-aware.  A final line with
+    no trailing newline still counts (the native parser accepts it)."""
     n = 0
+    last = b"\n"
     with open_maybe_gzip(fastq_path) as f:
         while True:
             chunk = f.read(1 << 24)
             if not chunk:
                 break
             n += chunk.count(b"\n")
+            last = chunk[-1:]
+    if last != b"\n":
+        n += 1
     return n // 4
 
 
@@ -49,10 +54,17 @@ def map_shard(index_path: str, reads_file1: str, reads_file2,
               command_line: str, skip: int, count: int,
               a_rich=False, pbat=False, random_pbat=False,
               allow_ambig=False, valid_frac=0.1, pe_min_dist=32,
-              pe_max_dist=3000, threads: int = 1, total_reads=None):
+              pe_max_dist=3000, threads: int = 1, total_reads=None,
+              bam: bool = False, verbose: bool = False):
     """One host's work: load the index replica, map reads [skip,
     skip+count), write records (rank 0 also writes the header).  Returns
-    the shard's raw stats counters (6 ints SE, 18 PE)."""
+    the shard's raw stats counters (6 ints SE, 18 PE).
+
+    BAM shards: each shard is a complete BGZF stream (shard 0 additionally
+    starts with the compressed header); concatenating the shards in rank
+    order yields a valid BAM whose decompressed payload equals the
+    single-host run's (the per-shard EOF markers are empty BGZF members,
+    which BAM readers skip)."""
     import numpy as np
 
     from ..index.serialize import read_index
@@ -67,18 +79,24 @@ def map_shard(index_path: str, reads_file1: str, reads_file2,
     paired = reads_file2 is not None
     a_rich_mode = (pbat if paired else (a_rich or pbat))
     st = np.zeros(18 if paired else 6, dtype=np.int64)
-    hdr = header.encode()
+    if bam and shard_i == 0:
+        from ..io.bam import bam_header_payload
+
+        hdr = bam_header_payload(header)
+    else:
+        hdr = header.encode()
     if not paired:
         n = eng.lib.engine_run_se(
             eng._ctx, reads_file1.encode(), out_shard.encode(), hdr,
             len(hdr), int(a_rich_mode), int(random_pbat), 1000,
-            eng.n_threads, _ptr(st), 0, int(skip), int(count), 0)
+            eng.n_threads, _ptr(st), int(verbose), int(skip), int(count),
+            int(bam))
     else:
         n = eng.lib.engine_run_pe(
             eng._ctx, reads_file1.encode(), reads_file2.encode(),
             out_shard.encode(), hdr, len(hdr), int(a_rich_mode),
-            int(random_pbat), 1000, eng.n_threads, _ptr(st), 0,
-            int(skip), int(count), 0)
+            int(random_pbat), 1000, eng.n_threads, _ptr(st), int(verbose),
+            int(skip), int(count), int(bam))
     if n < 0:
         raise RuntimeError(eng.lib.engine_error_ptr(eng._ctx).decode())
     return st.tolist()
@@ -117,6 +135,7 @@ def run_map_multihost(index_path: str, reads_file1: str, reads_file2,
     total = count_reads(reads_file1)
     shards = shard_bounds(total, n_hosts)
     shard_paths = [f"{out_path}.shard{i}" for i in range(n_hosts)]
+    verbose = bool(map_kwargs.pop("verbose", False))
     ctx = mp.get_context("spawn")
     with ctx.Pool(n_hosts) as pool:
         results = [
@@ -124,7 +143,10 @@ def run_map_multihost(index_path: str, reads_file1: str, reads_file2,
                 map_shard,
                 (index_path, reads_file1, reads_file2, shard_paths[i], i,
                  n_hosts, command_line, skip, cnt),
-                dict(threads=threads_per_host, **map_kwargs))
+                # progress output from rank 0 only (the shards' stderr
+                # streams would interleave)
+                dict(threads=threads_per_host,
+                     verbose=(verbose and i == 0), **map_kwargs))
             for i, (skip, cnt) in enumerate(shards)
         ]
         raws = [r.get() for r in results]

@@ -35,8 +35,12 @@ N_REPS = {"native": 20, "hybrid": 5}
 HYBRID_DEADLINE_S = int(os.environ.get("ABISMAL_BENCH_DEADLINE", "1800"))
 
 
-def _bench_mode(mode: str) -> float:
-    """Returns best-rep md5-verified reads/s for one engine configuration."""
+def _bench_mode(mode: str) -> dict:
+    """Times one engine configuration; returns {"best", "median",
+    "fallback"} where best/median are md5-verified reads/s over the reps
+    and fallback is the device stage-1 fallback-unit fraction (hybrid)."""
+    import statistics
+
     import __graft_entry__ as g
     from abismal_tpu.map.engine import run_map
     from abismal_tpu.map.pipeline import (
@@ -67,7 +71,7 @@ def _bench_mode(mode: str) -> float:
     run_map(index, fq, None, sam, None, cl, engine_factory=factory,
             threads=threads)
 
-    best = 0.0
+    rates = []
     for _ in range(N_REPS[mode]):
         t0 = time.perf_counter()
         run_map(index, fq, None, sam, None, cl, engine_factory=factory,
@@ -75,8 +79,17 @@ def _bench_mode(mode: str) -> float:
         dt = time.perf_counter() - t0
         got = hashlib.md5(open(sam, "rb").read()).hexdigest()
         if got == GOLDEN_SAM_MD5:
-            best = max(best, N_READS / dt)
-    return best
+            rates.append(N_READS / dt)
+    # the memoizing factory returns the live engine: read its device
+    # fallback counters so a regressing device path is visible in BENCH
+    eng = factory(index, False, 0.1, 32, 3000)
+    n_units = getattr(eng, "n_units", 0)
+    fallback = (getattr(eng, "n_fallback", 0) / n_units) if n_units else None
+    return {
+        "best": max(rates) if rates else 0.0,
+        "median": statistics.median(rates) if rates else 0.0,
+        "fallback": fallback,
+    }
 
 
 def _run_child(mode: str, deadline: float | None):
@@ -89,28 +102,31 @@ def _run_child(mode: str, deadline: float | None):
                 capture_output=True, text=True, timeout=deadline)
             for line in p.stdout.splitlines():
                 if line.startswith("{"):
-                    return json.loads(line)["reads_per_s"]
+                    return json.loads(line)
         except (subprocess.TimeoutExpired, OSError):
             pass
     return None
 
 
+def _merge(a: dict, b: dict) -> dict:
+    return b if (a is None or b["best"] > a["best"]) else a
+
+
 def main():
     if len(sys.argv) > 1 and sys.argv[1] == "--mode":
-        # child invocation: print one number and exit
-        print(json.dumps({"reads_per_s": _bench_mode(sys.argv[2])}))
+        # child invocation: print one JSON dict and exit
+        print(json.dumps(_bench_mode(sys.argv[2])))
         return
 
     threads = os.cpu_count() or 1
     results = {}
-    # native first: it is the usual winner on a tunnel-attached chip and
-    # must not share the machine with a device subprocess while timed.
-    # Two independent children, best taken: per-PROCESS cache/page state
-    # on this host swings single-process results by ~30%
+    # native first: must not share the machine with a device subprocess
+    # while timed.  Two independent children, best taken: per-PROCESS
+    # cache/page state on this host swings single-process results by ~30%
     for _ in range(2):
         r = _run_child("native", None)
         if r:
-            results["native"] = max(results.get("native", 0.0), r)
+            results["native"] = _merge(results.get("native"), r)
     # flagship hybrid second, inside a deadline: a wedged accelerator
     # tunnel must not hang the bench (the mapper itself would fall back
     # to the host engine in that situation)
@@ -120,16 +136,25 @@ def main():
     if not results:
         results["native"] = _bench_mode("native")  # last resort, in-process
 
-    mode = max(results, key=results.get)
-    reads_per_s = results[mode]
-    desc = ("device stage-1 + native decide/align" if mode == "hybrid"
+    mode = max(results, key=lambda m: results[m]["best"])
+    reads_per_s = results[mode]["best"]
+    desc = ("device stage-1+2 + native finalize" if mode == "hybrid"
             else "fully-native streaming engine")
+    # both modes' best/median rates and the hybrid fallback fraction ride
+    # along so artifacts record variance and device-path health, not just
+    # the winning peak
+    detail = {m: {"best": round(v["best"], 1),
+                  "median": round(v["median"], 1),
+                  **({"fallback_frac": round(v["fallback"], 5)}
+                     if v.get("fallback") is not None else {})}
+              for m, v in results.items()}
     print(json.dumps({
         "metric": "end-to-end SE mapping, "
                   f"{desc} ({threads} threads), output md5-verified",
         "value": round(reads_per_s, 1),
         "unit": "reads/s",
         "vs_baseline": round(reads_per_s / 1_000_000.0, 4),
+        "modes": detail,
     }))
 
 

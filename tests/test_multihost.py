@@ -48,6 +48,48 @@ def test_multihost_byte_identical(tmp_path, trex1_index, prefix, paired,
         stats.read_pair_stats.total_reads
 
 
+def test_count_reads_no_trailing_newline(tmp_path):
+    """A FASTQ whose final line lacks '\\n' still counts its last read
+    (the native parser accepts such files; ADVICE r2)."""
+    from abismal_tpu.parallel.multihost import count_reads
+
+    rec = b"@r%d\nACGTACGT\n+\nBBBBBBBB\n"
+    p = tmp_path / "t.fq"
+    p.write_bytes(b"".join(rec % i for i in range(3)))
+    assert count_reads(str(p)) == 3
+    p.write_bytes(b"".join(rec % i for i in range(3))[:-1])  # strip last \n
+    assert count_reads(str(p)) == 3
+
+
+def test_multihost_bam_payload(tmp_path, trex1_index):
+    """`map --hosts N -B`: concatenated BGZF shards must decompress to the
+    same BAM payload as a single-host -B run (block boundaries differ; the
+    decoded records cannot)."""
+    import gzip as _gz
+
+    from abismal_tpu.io.bam import read_bam_records
+    from abismal_tpu.map.engine import run_map
+    from abismal_tpu.map.pipeline import make_native_engine_factory
+    from abismal_tpu.parallel.multihost import run_map_multihost
+
+    fq1 = golden_path("small_1.fq")
+    cl = "map -B -o tests/small.bam -i tests/tRex1.idx tests/small_1.fq"
+    one = tmp_path / "one.bam"
+    run_map(trex1_index, fq1, None, str(one), None, cl,
+            engine_factory=make_native_engine_factory(n_threads=2),
+            threads=2, bam=True)
+    multi = tmp_path / "multi.bam"
+    run_map_multihost(_index_path(trex1_index), fq1, None, str(multi), cl,
+                      n_hosts=3, threads_per_host=2, bam=True)
+    # BGZF members are gzip members; multi-member decompression yields the
+    # full payload (the per-shard EOF markers are empty members)
+    pay1 = _gz.decompress(one.read_bytes())
+    pay2 = _gz.decompress(multi.read_bytes())
+    assert pay1 == pay2
+    assert list(read_bam_records(str(multi))) == \
+        list(read_bam_records(str(one)))
+
+
 def test_shard_cli_gather(tmp_path, trex1_index):
     """Real-cluster mode: `map --shard I:N` per host, concatenate in rank
     order -- equals the golden output."""
