@@ -142,6 +142,26 @@ class NativeMappingEngine:
             for i, f in enumerate(_SE_FIELDS):
                 setattr(dst, f, getattr(dst, f) + int(st[6 * blk + i]))
 
+    # ---- device stage-2 finalize (pipeline.py build_stage12) ---------------
+    def _finalize_se(self, reads, a_rich_mode, random_pbat, records, stats,
+                     out):
+        """records: (n_reads, 4) int32 per-read device decisions; the
+        native side does traceback-for-winners + SAM + stats, or a full
+        exact re-map for REC_FALLBACK rows."""
+        names, seqs = zip(*reads) if reads else ((), ())
+        rblob, roffs = _blob(list(seqs))
+        nblob, noffs = _blob([n.encode() for n in names])
+        records = np.ascontiguousarray(records, dtype=np.int32)
+        st = np.zeros(6, dtype=np.int64)
+        n = self.lib.engine_se_finalize(
+            self._ctx, _ptr(rblob), _ptr(roffs), _ptr(nblob), _ptr(noffs),
+            len(reads), int(a_rich_mode), int(random_pbat), _ptr(records),
+            self.n_threads, _ptr(st))
+        out.write(ctypes.string_at(self.lib.engine_out_ptr(self._ctx),
+                                   n).decode())
+        for i, f in enumerate(_SE_FIELDS):
+            setattr(stats, f, getattr(stats, f) + int(st[i]))
+
     # ---- two-phase SE interface for device-side batched alignment ---------
     def _phase1_se(self, reads, a_rich_mode, random_pbat, events):
         """Seeds the batch and emits alignment jobs; returns (n_jobs, jobs)

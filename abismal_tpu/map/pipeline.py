@@ -179,12 +179,19 @@ class DeviceIndexTP:
         self.max_candidates = int(index.max_candidates)
 
 
-def build_stage1(lmax: int, max_candidates: int, n_index2: int,
-                 n_index3: int, cand_per_unit: int | None = None,
-                 gcap_per_unit: int | None = None, tp: bool = False):
-    """Builds the jitted stage-1 function for a given padded read length.
+def _resolve_cand_budget(cand_per_unit, n_index2, n_index3, lmax):
+    if cand_per_unit is None:
+        cand_per_unit = auto_cand_budget(n_index2, n_index3, lmax)
+    return int(os.environ.get("ABISMAL_TPU_CAND_PER_UNIT", cand_per_unit))
 
-    v2 design -- offset-parallel, compaction before compare:
+
+def _make_core(lmax: int, max_candidates: int, n_index2: int,
+               n_index3: int, cand_per_unit: int, tp: bool):
+    """Builds the candidate-generation core shared by stage-1 (event-stream
+    output for the host replay) and the fused stage-1+2 program (device
+    decide/align; build_stage12).
+
+    Offset-parallel design, compaction before compare:
       1. rolling hash keys and bucket ranges for ALL (unit, offset, table)
          cells at once (no sequential scan over offsets);
       2. binary-search seed extension vectorized across every cell that
@@ -194,26 +201,12 @@ def build_stage1(lmax: int, max_candidates: int, n_index2: int,
          a dense global candidate list (work proportional to the REAL
          number of candidates, not offsets x slots);
       4. one popcount-compare pass over the global list using contiguous
-         window slice-gathers from the packed genome;
-      5. accepted events (diffs <= 0.4*len) compacted into a single small
-         global stream for the host replay.
+         window slice-gathers from the packed genome.
 
-    Memoized per parameter tuple so engines share one compilation."""
-    # global candidate budget per unit, pooled across the batch; units
-    # beyond it fall back to the exact host path.  Defaults scale with the
-    # index's bucket density (auto_cand_budget); env knobs override.
-    if cand_per_unit is None:
-        cand_per_unit = auto_cand_budget(n_index2, n_index3, lmax)
-    cand_per_unit = int(os.environ.get("ABISMAL_TPU_CAND_PER_UNIT",
-                                       cand_per_unit))
-    if gcap_per_unit is None:
-        gcap_per_unit = 32
-    gcap_per_unit = int(os.environ.get("ABISMAL_TPU_GCAP_PER_UNIT",
-                                       gcap_per_unit))
-    memo_key = (lmax, max_candidates, n_index2, n_index3, cand_per_unit,
-                gcap_per_unit, tp)
-    if memo_key in _stage1_memo:
-        return _stage1_memo[memo_key]
+    Returns (core, o_spec): core(genome32, counter2, counter3, index_all,
+    pnib, lens, is_ga, shard) -> dict of per-candidate arrays (pos, d,
+    b_of, cell_of, slot, valid), per-unit spans (unit_start, unit_total)
+    and overflow flags (cell cap or unit candidate budget exceeded)."""
     jax, jnp = _jm()
     o_spec = o_spec_for(lmax)
     o_sens = lmax - KEY_WEIGHT + 1
@@ -221,7 +214,6 @@ def build_stage1(lmax: int, max_candidates: int, n_index2: int,
     n_words = 2 * ((lmax + 15) // 16)  # u32 words incl. the 0xF tail block
     CELLCAP = SLOT  # max candidates per cell
     CAND_PER_UNIT = cand_per_unit
-    GCAP_PER_UNIT = gcap_per_unit
 
     # static per-cell offset table in discovery-rank order:
     # spec cells (i*2 + table), then sens cells ((o_spec+i)*2 + table)
@@ -237,14 +229,14 @@ def build_stage1(lmax: int, max_candidates: int, n_index2: int,
         word = genome32[(pos >> np.uint32(3)).astype(jnp.int32)]
         return (word >> ((pos & np.uint32(7)) * np.uint32(4))) & np.uint32(0xF)
 
-    def stage1(genome32, counter2, counter3, index_all, pnib, lens,
-               is_ga, thr, shard=None):
+    def core(genome32, counter2, counter3, index_all, pnib, lens,
+             is_ga, shard=None):
         """pnib: (B, (lmax+32)/2) u8 with two read nibbles per byte (base i
-        in nibble i&1 of byte i>>1); lens: (B,) i32; is_ga: (B,) bool; thr:
-        (B,) i32 = floor(0.4*len).  Unpacking, word packing and word masks
-        are all derived on device (abismal.cpp:1388-1426) -- the host
-        uploads half a byte per base, because the host<->device link is
-        the system bottleneck, not device compute.
+        in nibble i&1 of byte i>>1); lens: (B,) i32; is_ga: (B,) bool.
+        Unpacking, word packing and word masks are all derived on device
+        (abismal.cpp:1388-1426) -- the host uploads half a byte per base,
+        because the host<->device link is the system bottleneck, not
+        device compute.
 
         In tp mode (key-range-sharded index; SURVEY 2.5 "TP option"),
         `index_all` is this shard's slice [idx2|idx3t|idx3a] padded to
@@ -254,11 +246,7 @@ def build_stage1(lmax: int, max_candidates: int, n_index2: int,
         are masked off (each bucket lives on exactly one shard, so the
         union of all shards' event streams, merged by rank, equals the
         unsharded stream).  Bucket SIZES come from the replicated counter
-        tables, so specific/sensitive check policies are shard-invariant.
-
-        Returns (gpos, gmeta, count, overflow): a global event stream
-        (u32 positions and (diffs+512)<<22|rank), per-unit event counts,
-        and per-unit host-fallback flags."""
+        tables, so specific/sensitive check policies are shard-invariant."""
         B = pnib.shape[0]
         if tp:
             k2lo, k2hi = shard[0], shard[1]
@@ -266,7 +254,6 @@ def build_stage1(lmax: int, max_candidates: int, n_index2: int,
             hi3u = jnp.where(is_ga, shard[5], shard[3])
             pb2 = shard[6]
             pb3u = jnp.where(is_ga, shard[8], shard[7])  # (B,) list base
-        gcap = B * GCAP_PER_UNIT
         gflat = B * CAND_PER_UNIT
         preads = jnp.stack(
             [pnib & np.uint8(0xF), pnib >> np.uint8(4)], axis=2
@@ -559,6 +546,56 @@ def build_stage1(lmax: int, max_candidates: int, n_index2: int,
             m = jax.lax.population_count(packed_rows[:, j] & window)
             d = d + wmask_rows[:, j] * (8 - m.astype(jnp.int32))
 
+        return dict(pos=pos, d=d, b_of=b_of, cell_of=cell_of, slot=slot,
+                    valid=valid, unit_start=unit_start,
+                    unit_total=unit_total, overflow=overflow)
+
+    return core, o_spec
+
+
+def build_stage1(lmax: int, max_candidates: int, n_index2: int,
+                 n_index3: int, cand_per_unit: int | None = None,
+                 gcap_per_unit: int | None = None, tp: bool = False):
+    """Builds the jitted stage-1 function for a given padded read length:
+    the candidate core (_make_core) plus compaction of accepted events
+    (diffs <= 0.4*len, the largest cutoff the sequential engine can ever
+    apply) into a dense global stream for the host replay.
+
+    Memoized per parameter tuple so engines share one compilation."""
+    # global candidate budget per unit, pooled across the batch; units
+    # beyond it fall back to the exact host path.  Defaults scale with the
+    # index's bucket density (auto_cand_budget); env knobs override.
+    cand_per_unit = _resolve_cand_budget(cand_per_unit, n_index2, n_index3,
+                                         lmax)
+    if gcap_per_unit is None:
+        gcap_per_unit = 32
+    gcap_per_unit = int(os.environ.get("ABISMAL_TPU_GCAP_PER_UNIT",
+                                       gcap_per_unit))
+    memo_key = (lmax, max_candidates, n_index2, n_index3, cand_per_unit,
+                gcap_per_unit, tp)
+    if memo_key in _stage1_memo:
+        return _stage1_memo[memo_key]
+    jax, jnp = _jm()
+    core, o_spec = _make_core(lmax, max_candidates, n_index2, n_index3,
+                              cand_per_unit, tp)
+    GCAP_PER_UNIT = gcap_per_unit
+    CAND_PER_UNIT = cand_per_unit
+
+    def stage1(genome32, counter2, counter3, index_all, pnib, lens,
+               is_ga, thr, shard=None):
+        """Returns (ev, cf): a global event stream (u32 positions and
+        (diffs+512)<<22|rank) and per-unit count|overflow words (the
+        device->host link prefers few small messages)."""
+        B = pnib.shape[0]
+        gcap = B * GCAP_PER_UNIT
+        gflat = B * CAND_PER_UNIT
+        c = core(genome32, counter2, counter3, index_all, pnib, lens,
+                 is_ga, shard)
+        pos, d, b_of = c["pos"], c["d"], c["b_of"]
+        cell_of, slot, valid = c["cell_of"], c["slot"], c["valid"]
+        unit_start, unit_total = c["unit_start"], c["unit_total"]
+        overflow = c["overflow"]
+
         accept = valid & (d <= thr[b_of])
 
         # --- compact accepted events into the global stream ---
@@ -592,15 +629,247 @@ def build_stage1(lmax: int, max_candidates: int, n_index2: int,
         # diffs field of the packed event meta (len > 512)
         overflow = overflow | ((lens > 0) & (lens < 49)) | (thr > 511) | (
             lens > 512)
-        # two transfer-friendly outputs: the event stream and per-unit
-        # count|overflow flags (the device->host link prefers few small
-        # messages)
         ev = jnp.stack([gpos[:gcap], gmeta[:gcap]])
         cf = count | (overflow.astype(jnp.int32) << 30)
         return ev, cf
 
     result = (jax.jit(stage1), o_spec)
     _stage1_memo[memo_key] = result
+    return result
+
+
+_stage12_memo = {}
+
+# stage-2 record status codes (shared with native engine_se_finalize)
+REC_UNMAPPED, REC_EXACT, REC_ALIGNED, REC_FALLBACK = 0, 1, 2, 3
+
+
+def build_stage12(lmax: int, max_candidates: int, n_index2: int,
+                  n_index3: int, per: int, cand_per_unit: int | None = None,
+                  k_slots: int = 50, jobs_per_read: int = 8,
+                  interpret: bool = False):
+    """Fused device stage-1+2 for single-end mapping: ONE jitted program
+    runs candidate generation (the shared core), the reference's candidate
+    -set decision logic, batched banded-alignment scoring (Pallas), and
+    winner selection -- returning a 16-byte record per READ instead of a
+    per-candidate event stream (SURVEY 7 Phase 2; the round-2 verdict's
+    top ask).  The host keeps only traceback-for-winners and SAM text.
+
+    Exactness argument (vs abismal.cpp:1269-1497): while the 50-slot
+    max-heap never fills, its adaptive cutoff is constant per phase --
+    the heap root stays the reset sentinel (diffs = 0.4*len), so
+    `cutoff` is good_cutoff (= len/10) for the whole specific phase and
+    0.4*len for the whole sensitive phase, `should_do_sensitive()` is
+    always true, and eviction never happens.  The surviving candidate
+    set is then exactly the set of gate-passing events (order-free), and
+    the exact-match/ambiguity tracking reduces to first/any reductions.
+    sure_ambig early-exits only skip events when an ambiguous exact match
+    exists, in which case the candidate heap is never consulted
+    (align_se_candidates returns the exact best immediately), so the
+    skipped inserts cannot affect output.  Reads with >= 49 non-exact
+    accepted events (the heap WOULD fill), overflowed units, short reads
+    (< 49 bp) or more alignment jobs than the batch job budget are
+    flagged REC_FALLBACK and re-mapped exactly on the host -- output is
+    byte-identical to the reference at any fallback rate.
+
+    per: units per read (2, or 4 for RPBAT).  Returns (stage12, o_spec).
+
+    stage12(genome32, counter2, counter3, index_all, pnib, lens, is_ga,
+            scode, max_diffs_r) -> (R, 4) i32 records:
+      col0 = status | flags << 3   (flags incl. the ambiguous bit)
+      col1 = candidate diffs (pre-alignment; 0 for exact)
+      col2 = genome position (u32 bitcast)
+      col3 = winner alignment score (REC_ALIGNED only)
+    pnib/lens/is_ga are laid out DENSELY: unit row per*r + u belongs to
+    read r (empty reads upload zero-length rows); scode is the (per,)
+    strand-code pattern; max_diffs_r is int(valid_frac * len) per read
+    (host-computed: valid_frac is an arbitrary CLI float)."""
+    from ..kernels.banded_align import BW_MAX, LANES, build_banded_scorer
+
+    cand_per_unit = _resolve_cand_budget(cand_per_unit, n_index2, n_index3,
+                                         lmax)
+    k_slots = int(os.environ.get("ABISMAL_TPU_K_SLOTS", k_slots))
+    jobs_per_read = int(os.environ.get("ABISMAL_TPU_JOBS_PER_READ",
+                                       jobs_per_read))
+    memo_key = (lmax, max_candidates, n_index2, n_index3, per,
+                cand_per_unit, k_slots, jobs_per_read, interpret)
+    if memo_key in _stage12_memo:
+        return _stage12_memo[memo_key]
+    jax, jnp = _jm()
+    core, o_spec = _make_core(lmax, max_candidates, n_index2, n_index3,
+                              cand_per_unit, tp=False)
+    scorer = build_banded_scorer(lmax, 16, interpret=interpret)
+    K = k_slots
+    QW = lmax + BW_MAX + LANES
+    WW = lmax + BW_MAX + 2
+    F_RC, F_SECONDARY, F_A_RICH = 0x10, 0x100, 0x1000
+    POS_EMPTY = np.uint32(0xFFFFFFFF)
+
+    def stage12(genome32, counter2, counter3, index_all, pnib, lens,
+                is_ga, scode, max_diffs_r):
+        B = pnib.shape[0]
+        R = B // per
+        J = ((jobs_per_read * R + 15) // 16) * 16
+        c = core(genome32, counter2, counter3, index_all, pnib, lens,
+                 is_ga, None)
+        pos, d, b_of = c["pos"], c["d"], c["b_of"]
+        cell_of, valid = c["cell_of"], c["valid"]
+        unit_total, overflow = c["unit_total"], c["overflow"]
+        ncand = pos.shape[0]
+
+        r_of = b_of // per
+        rlen = jnp.max(lens.reshape(R, per), axis=1)
+        good_cut = rlen // 10                  # == int(0.1 * len)
+        sens_gate = (2 * rlen) // 5            # == int(0.4 * len)
+        max_scr = 2 * rlen
+
+        # --- decision gates (constant per phase while the heap is not
+        # full; see the exactness argument above) ---
+        phase_sp = cell_of < 2 * o_spec
+        gate = valid & jnp.where(phase_sp, d <= good_cut[r_of],
+                                 d <= sens_gate[r_of])
+        scode_cand = scode[b_of % per]
+        is_ex = gate & (d == 0)
+        nonex = gate & (d != 0)
+
+        # --- exact-match tracking (update_exact_match,
+        # abismal.cpp:347-355): first exact event in discovery order;
+        # ambiguous iff any exact event at a different (pos, flags) ---
+        gidx = jnp.arange(ncand, dtype=jnp.int32)
+        first_ex = jnp.full(R, ncand, jnp.int32).at[r_of].min(
+            jnp.where(is_ex, gidx, ncand))
+        has_ex = first_ex < ncand
+        fe = jnp.minimum(first_ex, ncand - 1)
+        e_pos0 = pos[fe]
+        e_s0 = scode_cand[fe]
+        ex_mism = is_ex & ((pos != e_pos0[r_of]) | (scode_cand
+                                                    != e_s0[r_of]))
+        ex_ambig = jnp.zeros(R, bool).at[r_of].max(ex_mism)
+
+        # --- non-exact candidate compaction into (R, K) slots ---
+        nx = nonex.astype(jnp.int32)
+        c_inc = jnp.cumsum(nx)
+        c_exc = c_inc - nx
+        c_at = jnp.concatenate([c_exc, c_inc[-1:]])
+        span = jnp.sum(unit_total.reshape(R, per), axis=1)
+        rstart = jnp.cumsum(span) - span
+        base = c_at[jnp.minimum(rstart, ncand)]
+        rend = jnp.minimum(rstart + span, ncand)
+        n_nonex = c_at[rend] - base
+        heap_fb = n_nonex > 48  # 49 inserts fill the 50-slot heap
+        slot_r = c_exc - base[r_of]
+        keep = nonex & (slot_r < K)
+        dest = jnp.where(keep, r_of * K + jnp.minimum(slot_r, K - 1), R * K)
+        posK = jnp.full(R * K + 1, POS_EMPTY, jnp.uint32).at[dest].set(pos)
+        sKf = jnp.full(R * K + 1, 0x7FFFFFFF, jnp.int32).at[dest].set(
+            scode_cand)
+        dKf = jnp.zeros(R * K + 1, jnp.int32).at[dest].set(d)
+        # dedup-sort by (pos, flags) (prepare_for_alignments,
+        # abismal.cpp:429-439); empty slots sort last (pos = u32 max
+        # exceeds any genome position)
+        posK, sK, dK = jax.lax.sort(
+            (posK[: R * K].reshape(R, K), sKf[: R * K].reshape(R, K),
+             dKf[: R * K].reshape(R, K)), dimension=1, num_keys=2)
+        filled = posK != POS_EMPTY
+        dup = jnp.concatenate(
+            [jnp.zeros((R, 1), bool),
+             (posK[:, 1:] == posK[:, :-1]) & (sK[:, 1:] == sK[:, :-1])],
+            axis=1)
+        candm = filled & ~dup
+        vh = candm & (dK < sens_gate[:, None])  # valid_hit: strict <
+
+        # --- batched banded scoring of every valid hit (Pallas) ---
+        bwK = 2 * jnp.minimum(dK, max_diffs_r[:, None]) + 1
+        bwK = jnp.where(bwK < 0, BW_MAX, jnp.minimum(BW_MAX, bwK))
+        rc = (sK & F_RC) != 0
+        ar = (sK & F_A_RICH) != 0
+        if per == 2:
+            uoff = rc.astype(jnp.int32)
+        else:
+            uoff = jnp.where(rc, jnp.where(ar, 2, 3),
+                             jnp.where(ar, 1, 0))
+        rows_r = jnp.arange(R, dtype=jnp.int32)[:, None]
+        qrowK = rows_r * per + uoff
+        jm = vh.reshape(-1).astype(jnp.int32)
+        jexc = jnp.cumsum(jm) - jm
+        job_ok = (jm != 0) & (jexc < J)
+        job_over = (jm != 0) & (jexc >= J)
+        job_fb = jnp.zeros(R, bool).at[
+            jnp.repeat(jnp.arange(R, dtype=jnp.int32), K)].max(job_over)
+        jdest = jnp.where(job_ok, jexc, J)
+        junit = jnp.zeros(J + 1, jnp.int32).at[jdest].set(qrowK.reshape(-1))
+        jpos = jnp.full(J + 1, 32767, jnp.uint32).at[jdest].set(
+            posK.reshape(-1))
+        jbw = jnp.ones(J + 1, jnp.int32).at[jdest].set(bwK.reshape(-1))
+        jqsz = jnp.zeros(J + 1, jnp.int32).at[jdest].set(
+            jnp.repeat(rlen, K))
+        junit, jpos = junit[:J], jpos[:J]
+        jbw, jqsz = jbw[:J], jqsz[:J]
+        # shifted query rows + genome windows (build_device_align layout)
+        rows = pnib[junit]
+        q = jnp.stack([rows & np.uint8(0xF), rows >> np.uint8(4)],
+                      axis=2).reshape(J, -1)
+        col = jnp.arange(QW, dtype=jnp.int32)[None, :]
+        src = col - jbw[:, None]
+        okq = (src >= 0) & (src < jqsz[:, None])
+        srcc = jnp.clip(src, 0, q.shape[1] - 1)
+        q_shift = jnp.where(okq, jnp.take_along_axis(q, srcc, axis=1),
+                            np.uint8(0))
+        t_beg = jpos - ((jbw - 1) // 2).astype(jnp.uint32)
+        gp = t_beg[:, None] + jnp.arange(WW, dtype=jnp.uint32)[None, :]
+        word = genome32[(gp >> np.uint32(3)).astype(jnp.int32)]
+        win = ((word >> ((gp & np.uint32(7)) * np.uint32(4)))
+               & np.uint32(0xF)).astype(jnp.uint8)
+        scores_j = scorer(q_shift, win, jbw[:, None], jqsz[:, None])[:, 0]
+        scrK = jnp.where(
+            job_ok.reshape(R, K),
+            scores_j[jnp.minimum(jexc, J - 1)].reshape(R, K), 0)
+
+        # --- winner selection (align_se_candidates scan semantics,
+        # abismal.cpp:1435-1497): best = first occurrence of the max
+        # score in sorted order (updates are strict improvements, so the
+        # running best after the last update is that first occurrence);
+        # ambiguous iff any LATER valid hit ties the max at a distinct
+        # position (ties before the last update are erased by it) ---
+        M = jnp.max(jnp.where(vh, scrK, 0), axis=1)
+        kidx = jnp.arange(K, dtype=jnp.int32)[None, :]
+        isM = vh & (scrK == M[:, None]) & (M[:, None] > 0)
+        istar = jnp.min(jnp.where(isM, kidx, K), axis=1)
+        ist = jnp.minimum(istar, K - 1)[:, None]
+        bpos = jnp.take_along_axis(posK, ist, axis=1)[:, 0]
+        bs = jnp.take_along_axis(sK, ist, axis=1)[:, 0]
+        bd = jnp.take_along_axis(dK, ist, axis=1)[:, 0]
+        # |pos - best_pos| computed in uint32 (x64 stays disabled)
+        pdiff = jnp.where(posK >= bpos[:, None], posK - bpos[:, None],
+                          bpos[:, None] - posK)
+        distinct = jnp.where(M[:, None] == max_scr[:, None],
+                             posK != bpos[:, None], pdiff > 3)
+        amb = jnp.any(isM & (kidx > istar[:, None]) & distinct, axis=1)
+        # M == 0: best never updates (best_pos stays 0), so every valid
+        # hit with score 0 is a distinct-position tie against it
+        amb0 = jnp.any(vh & (scrK == 0), axis=1) & (M == 0)
+
+        # --- per-read records ---
+        unit_fb = jnp.any(overflow.reshape(R, per), axis=1)
+        fb = (unit_fb | heap_fb | job_fb | ((rlen > 0) & (rlen < 49)))
+        aligned = (~has_ex) & (M > 0)
+        status = jnp.where(fb, REC_FALLBACK,
+                           jnp.where(has_ex, REC_EXACT,
+                                     jnp.where(aligned, REC_ALIGNED,
+                                               REC_UNMAPPED)))
+        sec = jnp.where(has_ex, ex_ambig, jnp.where(aligned, amb, amb0))
+        flags = jnp.where(has_ex, e_s0, jnp.where(aligned, bs, 0))
+        flags = flags | jnp.where(sec, F_SECONDARY, 0)
+        rd = jnp.where(has_ex, 0, bd)
+        rp = jnp.where(has_ex, e_pos0, jnp.where(aligned, bpos, 0))
+        rec = jnp.stack([
+            status | (flags << 3), rd,
+            jax.lax.bitcast_convert_type(rp, jnp.int32),
+            jnp.where(aligned, M, 0)], axis=1)
+        return rec
+
+    result = (jax.jit(stage12), o_spec)
+    _stage12_memo[memo_key] = result
     return result
 
 
@@ -873,7 +1142,8 @@ class TpuNativeEngine:
                  pe_min_dist=32, pe_max_dist=3000, lmax: int = 128,
                  unit_batch: int = 2048, n_threads: int = 1,
                  device_put=None, mesh_devices=None, device_align=None,
-                 align_jcap: int = 8192, index_shards=None):
+                 align_jcap: int = 8192, index_shards=None,
+                 device_stage2=None):
         from .native_engine import NativeMappingEngine
 
         if mesh_devices and index_shards:
@@ -884,7 +1154,17 @@ class TpuNativeEngine:
                                           pe_min_dist, pe_max_dist,
                                           n_threads=n_threads)
         self.lmax = lmax
+        self.valid_frac = valid_frac
         self.unit_batch = unit_batch
+        # SE stage-2 on device (fused decide+align+select; build_stage12):
+        # the flagship default on a single chip.  Mesh/TP layouts still run
+        # the event-stream stage-1 path.
+        if device_stage2 is None:
+            device_stage2 = bool(int(os.environ.get(
+                "ABISMAL_TPU_STAGE2", "1")))
+        self.device_stage2 = (bool(device_stage2) and not mesh_devices
+                              and not index_shards)
+        self._stage12_progs = {}
         self.index_shards = 0
         if index_shards:
             # key-range-sharded index over the mesh (SURVEY 2.5 TP option):
@@ -1150,9 +1430,119 @@ class TpuNativeEngine:
             self._pool = ThreadPoolExecutor(max_workers=self.pipeline_depth)
         return self._pool.submit(self._collect_flat, disp, n_units)
 
+    # --- fused stage-1+2 path (SE): one record per read --------------------
+    def _stage12_prog(self, per):
+        prog = self._stage12_progs.get(per)
+        if prog is None:
+            import jax
+
+            interp = jax.default_backend() == "cpu"
+            prog, _ = build_stage12(self.lmax, self.dev.max_candidates,
+                                    self.dev.n_index2, self.dev.n_index3,
+                                    per, interpret=interp)
+            self._stage12_progs[per] = prog
+        return prog
+
+    @staticmethod
+    def _se_scode_pattern(a_rich_mode, random_pbat):
+        if not random_pbat:
+            return np.array([strand_code("+", a_rich_mode),
+                             strand_code("-", a_rich_mode)], dtype=np.int32)
+        # RPBAT unit order matches _se_units_flat: (fw,T), (fw,A),
+        # (rc as T-rich, strand code a-rich), (rc as A-rich, strand code
+        # T-rich) -- the encoding and the reported conversion cross over
+        # on the reverse strand (abismal.cpp:1602-1704)
+        return np.array([strand_code("+", False), strand_code("+", True),
+                         strand_code("-", True), strand_code("-", False)],
+                        dtype=np.int32)
+
+    def _se_units_dense(self, reads, a_rich_mode, random_pbat):
+        """Dense layout for build_stage12: every read occupies exactly
+        `per` consecutive unit rows; empty and oversized reads upload
+        zero-length rows (oversized ones are forced to REC_FALLBACK on
+        collection)."""
+        from ..utils.dna import revcomp_str
+
+        per = 4 if random_pbat else 2
+        units = []
+        oversized = np.zeros(len(reads), dtype=bool)
+        empty_row = np.zeros(0, dtype=np.uint8)
+        for ri, (_, read) in enumerate(reads):
+            if not read or len(read) > self.lmax:
+                oversized[ri] = bool(read) and len(read) > self.lmax
+                units.extend([empty_row] * per)
+                continue
+            rc = revcomp_str(read.decode()).encode()
+            if not random_pbat:
+                units.append(prep_read(read, a_rich_mode))
+                units.append(prep_read(rc, not a_rich_mode))
+            else:
+                units.append(prep_read(read, False))
+                units.append(prep_read(read, True))
+                units.append(prep_read(rc, False))
+                units.append(prep_read(rc, True))
+        return units, per, oversized
+
+    def _dispatch_se_stage12(self, reads, a_rich_mode, random_pbat):
+        units, per, oversized = self._se_units_dense(reads, a_rich_mode,
+                                                     random_pbat)
+        scode_pat = self._se_scode_pattern(a_rich_mode, random_pbat)
+        is_ga_pat = np.array([get_conv_is_ga(int(c)) for c in scode_pat],
+                             dtype=bool)
+        prog = self._stage12_prog(per)
+        B = self.unit_batch - (self.unit_batch % per)
+        rpc = B // per  # reads per chunk
+        pending = []
+        for start in range(0, len(reads), rpc):
+            chunk = units[start * per : (start + rpc) * per]
+            n = len(chunk) // per
+            preads, lens = prepare_units(chunk, self.lmax)
+            pad = B - len(chunk)
+            if pad:
+                preads = np.pad(preads, ((0, pad), (0, 0)))
+                lens = np.pad(lens, (0, pad))
+            lens_r = lens.reshape(rpc, per).max(axis=1)
+            # int(valid_frac * len): float64 multiply then truncation
+            # toward zero, matching the C cast (diffs_cutoff)
+            max_diffs_r = (self.valid_frac
+                           * lens_r.astype(np.float64)).astype(np.int32)
+            is_ga = np.tile(is_ga_pat, rpc)
+            rec = prog(*self.dev.tables(), preads, lens, is_ga,
+                       scode_pat, max_diffs_r)
+            try:
+                rec.copy_to_host_async()
+            except (AttributeError, RuntimeError):
+                pass
+            pending.append((start, n, rec))
+        return (reads, a_rich_mode, random_pbat, per, pending, oversized)
+
+    def _finish_se_stage12(self, handle, stats, out):
+        reads, arm, rp, per, pending, oversized = handle
+        t1 = time.perf_counter()
+        R = len(reads)
+        records = np.zeros((max(R, 1), 4), dtype=np.int32)
+        for start, n, rec in pending:
+            records[start : start + n] = np.asarray(rec)[:n]
+        idx = np.flatnonzero(oversized)
+        if idx.size:
+            records[idx] = np.array([REC_FALLBACK, 0, 0, 0], dtype=np.int32)
+        n_fb = int(((records[:R, 0] & 7) == REC_FALLBACK).sum())
+        with self._counter_lock:
+            self.n_units += R * per
+            self.n_fallback += n_fb * per
+        t2 = time.perf_counter()
+        self.stage_time["device collect"] += t2 - t1
+        self.native._finalize_se(reads, arm, rp, records[:R], stats, out)
+        self.stage_time["native stage-2"] += time.perf_counter() - t2
+        return R
+
     # --- pipeline interface -------------------------------------------------
     def dispatch_se(self, reads, a_rich_mode, random_pbat):
         t0 = time.perf_counter()
+        if self.device_stage2:
+            h = self._dispatch_se_stage12(reads, a_rich_mode, random_pbat)
+            self.stage_time["device dispatch"] += time.perf_counter() - t0
+            return ("s2",) + h
         units, n_units = self._se_units_flat(reads, a_rich_mode, random_pbat)
         t1 = time.perf_counter()
         disp = self._dispatch_units(units)
@@ -1163,6 +1553,8 @@ class TpuNativeEngine:
         return (reads, a_rich_mode, random_pbat, n_units, disp, fut)
 
     def finish_se(self, handle, stats, out):
+        if handle[0] == "s2":
+            return self._finish_se_stage12(handle[1:], stats, out)
         reads, arm, rp, n_units, disp, fut = handle
         t0 = time.perf_counter()
         events, self._unit_loc = fut.result()
@@ -1295,7 +1687,7 @@ def make_native_engine_factory(n_threads: int = 1):
 def make_tpu_native_engine_factory(lmax: int = 128, unit_batch: int = 2048,
                                    n_threads: int = 1, mesh_devices=None,
                                    device_align=None, align_jcap: int = 8192,
-                                   index_shards=None):
+                                   index_shards=None, device_stage2=None):
     """Flagship: device stage-1 + native stage-2, memoized per index.
     mesh_devices="all" (or an int) shards unit batches over the local
     device mesh with the index replicated per chip; index_shards="all"
@@ -1307,7 +1699,7 @@ def make_tpu_native_engine_factory(lmax: int = 128, unit_batch: int = 2048,
         key = ("tpu-native", id(index), int(index.max_candidates),
                allow_ambig, valid_frac, pe_min_dist, pe_max_dist, lmax,
                unit_batch, mesh_devices, device_align, align_jcap,
-               index_shards)
+               index_shards, device_stage2)
         hit = _engine_memo.get(key)
         if hit is not None and hit[0] is index:
             hit[1].n_threads = n_threads
@@ -1317,7 +1709,8 @@ def make_tpu_native_engine_factory(lmax: int = 128, unit_batch: int = 2048,
                               n_threads=n_threads, mesh_devices=mesh_devices,
                               device_align=device_align,
                               align_jcap=align_jcap,
-                              index_shards=index_shards)
+                              index_shards=index_shards,
+                              device_stage2=device_stage2)
         _engine_memo[key] = (index, eng)
         return eng
 

@@ -168,6 +168,14 @@ def get_engine_lib() -> ctypes.CDLL:
             + [ctypes.c_int64, ctypes.c_int, ctypes.c_int]
             + _ev + [ctypes.c_int, ctypes.c_void_p]
         )
+        lib.engine_se_finalize.restype = ctypes.c_int64
+        lib.engine_se_finalize.argtypes = (
+            [ctypes.c_void_p]
+            + [ctypes.c_void_p] * 4  # reads blob/offs, names blob/offs
+            + [ctypes.c_int64, ctypes.c_int, ctypes.c_int]
+            + [ctypes.c_void_p]  # records (n_reads, 4) i32
+            + [ctypes.c_int, ctypes.c_void_p]
+        )
         lib.engine_map_pe_batch.restype = ctypes.c_int64
         lib.engine_map_pe_batch.argtypes = (
             [ctypes.c_void_p]

@@ -2033,6 +2033,78 @@ void run_threads(Engine &E, int64_t n_items, int n_threads, Fn fn) {
       E.out += E.workers[t]->out;
 }
 
+// -----------------------------------------------------------------------
+// device stage-2 finalize (pipeline.py build_stage12): one 16-byte record
+// per read -- status 0 unmapped / 1 exact / 2 aligned / 3 fallback, col0 =
+// status | flags<<3, col1 = candidate diffs, col2 = genome pos (u32),
+// col3 = winner score.  The device already ran seed + candidate decide +
+// score + winner pick; the host does traceback-for-winners, SAM text and
+// stats (abismal.cpp:1435-1497 tail), or a full exact re-map for
+// REC_FALLBACK reads.
+// -----------------------------------------------------------------------
+void finalize_one_se(const Engine &E, Worker &w, const int32_t *rec,
+                     int64_t ri, const uint8_t *name, int64_t name_len,
+                     const uint8_t *read, int len, bool a_rich_mode,
+                     bool random_pbat) {
+  const int status = rec[0] & 7;
+  if (status == 3) {
+    Events ev{};  // absent -> full native seeding + decide + align
+    map_one_se(E, w, ev, ri, name, name_len, read, len, a_rich_mode,
+               random_pbat);
+    return;
+  }
+  Elem best{MAX_DIFFS, 0, 0};
+  Cigar cig;
+  cig.clear();
+  if (len) {
+    const uint32_t f = (uint32_t)(rec[0] >> 3);
+    const int32_t d = rec[1];
+    const uint32_t p = (uint32_t)rec[2];
+    const int32_t scr = rec[3];
+    if (status == 1) {  // exact match: default cigar, no alignment
+      best = Elem{0, f, p};
+      cig.set_default(len);
+    }
+    else if (status == 2) {  // aligned winner: traceback + validity
+      const int32_t max_diffs = diffs_cutoff(len, E.valid_frac);
+      // encode the winning query on demand (pick_pread semantics:
+      // fw -> encode(read, a_rich); rc -> encode(revcomp, !a_rich))
+      const uint8_t *q;
+      if (f & F_RC) {
+        revcomp_ascii(read, len, w.rcbuf[0]);
+        encode_read(w.rcbuf[0].data(), len, (f & F_A_RICH) == 0, w.buf[0]);
+        q = w.buf[0].data();
+      }
+      else {
+        encode_read(read, len, (f & F_A_RICH) != 0, w.buf[0]);
+        q = w.buf[0].data();
+      }
+      best = Elem{d, f, p};
+      StageTimer t(w.tns + 1);
+      w.aln.align(d, max_diffs, q, len, p, true);
+      int64_t aln_len, new_pos;
+      w.aln.cigar_len_pos(d, cig, aln_len, new_pos, p);
+      best.p = (uint32_t)new_pos;
+      best.d = edit_distance(scr, aln_len, cig);
+      if (!(valid_len_ok(aln_len, len) && best.d <= max_diffs))
+        best = Elem{MAX_DIFFS, best.f, 0};
+    }
+    else {  // unmapped (flags may carry the ambiguous bit)
+      best = Elem{MAX_DIFFS, f, 0};
+    }
+    StageTimer t(w.tns + 2);
+    const int map_type =
+      format_se(E, best, cig, name, name_len, read, len, w.out);
+    if (map_type == MAP_UNMAPPED) {
+      best.d = MAX_DIFFS;
+      best.p = 0;
+    }
+  }
+  SEStatsAcc acc{w.st};
+  acc.update(len == 0, !elem_empty(best), elem_ambig(best), best.d, cig,
+             E.allow_ambig);
+}
+
 void sum_stats(Engine &E, int64_t *stats_out, int n) {
   for (int i = 0; i < n; ++i) {
     int64_t s = 0;
@@ -2159,6 +2231,34 @@ int64_t engine_map_se_batch(void *eng, const uint8_t *reads_blob,
                  reads_blob + read_offs[ri],
                  (int)(read_offs[ri + 1] - read_offs[ri]), a_rich_mode != 0,
                  random_pbat != 0);
+    }
+  });
+  sum_stats(E, stats_out, 6);
+  return (int64_t)E.out.size();
+}
+
+// device stage-2 finalize batch entry: records is (n_reads, 4) int32
+int64_t engine_se_finalize(void *eng, const uint8_t *reads_blob,
+                           const int64_t *read_offs,
+                           const uint8_t *names_blob,
+                           const int64_t *name_offs, int64_t n_reads,
+                           int a_rich_mode, int random_pbat,
+                           const int32_t *records, int n_threads,
+                           int64_t *stats_out) {
+  Engine &E = *(Engine *)eng;
+  int max_len = 1;
+  for (int64_t i = 0; i < n_reads; ++i)
+    max_len = std::max<int64_t>(max_len, read_offs[i + 1] - read_offs[i]);
+
+  run_threads(E, n_reads, n_threads, [&](Worker &w, int64_t lo, int64_t hi) {
+    w.aln.reset(max_len);
+    for (int64_t ri = lo; ri < hi; ++ri) {
+      finalize_one_se(E, w, records + 4 * ri, ri,
+                      names_blob + name_offs[ri],
+                      name_offs[ri + 1] - name_offs[ri],
+                      reads_blob + read_offs[ri],
+                      (int)(read_offs[ri + 1] - read_offs[ri]),
+                      a_rich_mode != 0, random_pbat != 0);
     }
   });
   sum_stats(E, stats_out, 6);

@@ -162,6 +162,74 @@ def test_device_align_parity(tmp_path, trex1_index, prefix, paired, pbat):
     assert mstats.read_text() == _read_golden(prefix + ".mstats")
 
 
+def _run_se_pair(tmp_path, trex1_index, factory_kwargs, a_rich=False,
+                 random_pbat=False, env=None, monkeypatch=None):
+    """Maps small_1.fq twice -- fused device stage-1+2 vs the pure-native
+    engine -- and returns both (sam_text, mstats_text) pairs."""
+    from abismal_tpu.map.engine import run_map
+    from abismal_tpu.map.pipeline import (
+        make_native_engine_factory, make_tpu_native_engine_factory,
+    )
+
+    if env and monkeypatch:
+        for k, v in env.items():
+            monkeypatch.setenv(k, v)
+    fq1 = golden_path("small_1.fq")
+    cl = "map -o out.sam -i tests/tRex1.idx tests/small_1.fq"
+    outs = []
+    for fac in (make_tpu_native_engine_factory(device_stage2=True,
+                                               **factory_kwargs),
+                make_native_engine_factory(n_threads=2)):
+        sam = tmp_path / f"o{len(outs)}.sam"
+        mst = tmp_path / f"o{len(outs)}.mstats"
+        run_map(trex1_index, fq1, None, str(sam), str(mst), cl,
+                a_rich=a_rich, random_pbat=random_pbat,
+                engine_factory=fac, threads=2)
+        outs.append((sam.read_text(), mst.read_text()))
+    return outs
+
+
+def test_stage2_se_golden_parity(tmp_path, trex1_index):
+    """Fused device stage-1+2 (decide + Pallas align + winner pick on the
+    accelerator, one record per read) must be byte-identical to the
+    upstream golden (VERDICT r2 item 1)."""
+    from abismal_tpu.map.engine import run_map
+    from abismal_tpu.map.pipeline import make_tpu_native_engine_factory
+
+    fq1 = golden_path("small_1.fq")
+    cl = ("map -s tests/small.mstats -o tests/small.sam -i tests/tRex1.idx "
+          "tests/small_1.fq")
+    sam = tmp_path / "out.sam"
+    mstats = tmp_path / "out.mstats"
+    run_map(trex1_index, fq1, None, str(sam), str(mstats), cl,
+            engine_factory=make_tpu_native_engine_factory(
+                unit_batch=128, n_threads=2, device_stage2=True))
+    assert sam.read_text() == _read_golden("small.sam")
+    assert mstats.read_text() == _read_golden("small.mstats")
+
+
+@pytest.mark.parametrize("a_rich,random_pbat", [(True, False), (False, True)])
+def test_stage2_se_modes_parity(tmp_path, trex1_index, a_rich, random_pbat):
+    """A-rich (PBAT-style SE) and RPBAT SE (4 units/read) through the fused
+    stage-2 path must equal the exact native engine."""
+    (s2_sam, s2_mst), (na_sam, na_mst) = _run_se_pair(
+        tmp_path, trex1_index, dict(unit_batch=128, n_threads=2),
+        a_rich=a_rich, random_pbat=random_pbat)
+    assert s2_sam == na_sam
+    assert s2_mst == na_mst
+
+
+def test_stage2_fallback_paths(tmp_path, trex1_index, monkeypatch):
+    """A zero job budget forces every aligned read onto the REC_FALLBACK
+    native re-map; output must remain byte-identical (the correctness
+    guarantee is unconditional in the fallback rate)."""
+    (s2_sam, s2_mst), (na_sam, na_mst) = _run_se_pair(
+        tmp_path, trex1_index, dict(unit_batch=128, n_threads=2),
+        env={"ABISMAL_TPU_JOBS_PER_READ": "0"}, monkeypatch=monkeypatch)
+    assert s2_sam == na_sam
+    assert s2_mst == na_mst
+
+
 @pytest.mark.slow
 def test_hybrid_runner_parity(tmp_path, trex1_index):
     """Device stage-1 + multiprocess decode must stay byte-identical."""
@@ -208,7 +276,10 @@ def test_lmax_long_reads_zero_fallback(trex1_index):
                 seq[j] = ord("T")
         reads.append((f"r{i}", bytes(seq)))
 
-    tpu = TpuNativeEngine(trex1_index, lmax=256, unit_batch=128, n_threads=2)
+    # pinned to the event-stream path: the fused stage-2 path has its own
+    # (legitimate) heap-bound fallbacks; this test isolates lmax plumbing
+    tpu = TpuNativeEngine(trex1_index, lmax=256, unit_batch=128, n_threads=2,
+                          device_stage2=False)
     out_t = io.StringIO()
     st_t = SEStats()
     tpu.map_se_reads(reads, False, False, st_t, out_t)
