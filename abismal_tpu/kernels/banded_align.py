@@ -5,11 +5,19 @@ for a batch of (query, genome-window, bandwidth) jobs entirely on the VPU:
 int-exact scores, zero floor, per-job band narrowing, and the in-row
 insertion chain realized as a log-depth max-prefix scan over lanes.
 
-Band columns live on the 128-lane axis (band width <= 61); jobs tile the
-sublane axis.  The diagonal move's query indexing is made lane-uniform by
-pre-shifting each job's query by its bandwidth (qi = i + c - b becomes a
-row-indexed slice of the shifted query), so the kernel needs no per-lane
-gathers.  Out-of-band table cells read as 0, exactly like the reference's
+Layout (v3, transposed + bandwidth-free query): band columns live on the
+SUBLANE axis (band width <= 61 < BAND=64 sublanes); jobs tile the 128-lane
+axis.  Rows are reparametrized as r = i - b (i the reference's table row,
+b the per-job band width), which makes the diagonal move's query index
+qi = r + c independent of b: the query sits at ONE fixed offset
+(QOFF = BW_MAX - 1) for every job, so callers never shift queries per
+job, and the kernel reads each row's query window with a sublane-axis
+dynamic slice (natively supported by Mosaic) -- no per-lane gathers, no
+register rolls.  The per-job genome window absorbs the band placement
+instead: win[rr] = genome[pos + (b-1)/2 - QOFF + rr], a start offset
+folded into the window gather's index arithmetic for free.  The in-row
+insertion chain is a 6-step log-depth max-prefix scan over sublanes.
+Out-of-band table cells read as 0, exactly like the reference's
 zero-initialized flat table, and the deletion move skips the last band
 column (from_above covers [left, right-1); AbismalAlign.hpp:369-377).
 
@@ -27,131 +35,152 @@ ALN_MATCH = 2
 ALN_MISMATCH = -3
 ALN_INDEL = -4
 BW_MAX = 61
+BAND = 64  # sublane tile holding one band row (>= BW_MAX)
+QOFF = BW_MAX - 1  # fixed query offset in the transposed query panel
 LANES = 128
 NEG = -(1 << 14)
 
 
-def _kernel_body(jnp, jax, pl, pltpu, q_ref, win_ref, bw_ref, qsz_ref,
+def _kernel_body(jnp, jax, pl, pltpu, qt_ref, wint_ref, bw_ref, qsz_ref,
                  out_ref, lp: int, jb: int):
-    lanes = jnp.arange(LANES, dtype=jnp.int32)[None, :]
-    bw = bw_ref[:, 0][:, None]  # (jb, 1)
-    qsz = qsz_ref[:, 0][:, None]
-    t_shift = qsz + bw
-    n_rows = lp + BW_MAX
+    # transposed: band column c on sublanes (BAND=64), jobs on lanes (jb);
+    # rows rr = (i - b) + QOFF walk uniformly for every job (see module
+    # docstring).  Reference row i = rr - QOFF + b, so the reference's
+    # left = max(b - i, 0) = max(QOFF - rr, 0) is per-job CONSTANT-free,
+    # and rows before a narrow band's first live row mask out naturally
+    # (left >= b >= right there).
+    cols = jax.lax.broadcasted_iota(jnp.int32, (BAND, jb), 0)
+    bw = bw_ref[0:1, :]  # (1, jb)
+    qsz = qsz_ref[0:1, :]
+    n_rows = lp + QOFF
 
-    def row_step(i, carry):
-        # qbuf is the query pre-rolled so lane c holds q_shift[:, i + c];
-        # wbuf lane 0 holds win[:, i - 1] (Mosaic has no unaligned dynamic
-        # lane slices, so the buffers ride in registers and roll one lane
-        # per row)
-        prev, best, qbuf, wbuf = carry
-        left = jnp.maximum(bw - i, 0)
-        right = jnp.minimum(bw, t_shift - i)
-        valid = (lanes >= left) & (lanes < right) & (i < t_shift)
+    def row_step(rr, carry):
+        prev, best = carry
+        left = jnp.maximum(QOFF - rr, 0)
+        right = jnp.minimum(bw, qsz + (QOFF - rr))
+        valid = (cols >= left) & (cols < right)
 
-        qrow = qbuf[:, :LANES]
-        ref_base = wbuf[:, 0:1]
+        # diagonal: q[r + c] vs win[rr] (AbismalAlign.hpp:345-357); the
+        # query panel holds q at offset QOFF, so q[r + c] = qt[rr + c]
+        qrow = qt_ref[pl.ds(rr, BAND), :]
+        ref_base = wint_ref[pl.ds(rr, 1), :]
         sub = jnp.where((qrow & ref_base) != 0, ALN_MATCH, ALN_MISMATCH)
         v = jnp.maximum(0, prev + sub)
 
         # deletion (from above): prev[c + 1] + indel, only c in [left,
         # right-1)
         above = jnp.concatenate(
-            [prev[:, 1:], jnp.zeros((jb, 1), jnp.int32)], axis=1)
-        v = jnp.where(lanes < right - 1,
+            [prev[1:, :], jnp.zeros((1, jb), jnp.int32)], axis=0)
+        v = jnp.where(cols < right - 1,
                       jnp.maximum(v, above + ALN_INDEL), v)
 
         # insertion chain (from left), within [left, right): log-depth
-        # max-prefix scan of v[k] - indel*(c - k)
-        m = jnp.where(valid, v - ALN_INDEL * lanes, NEG)
+        # max-prefix scan over sublanes of v[k] - indel*(c - k)
+        m = jnp.where(valid, v - ALN_INDEL * cols, NEG)
         shift = 1
-        while shift < LANES:
+        while shift < BAND:
             rolled = jnp.concatenate(
-                [jnp.full((jb, shift), NEG, jnp.int32), m[:, :-shift]],
-                axis=1)
+                [jnp.full((shift, jb), NEG, jnp.int32), m[:-shift, :]],
+                axis=0)
             m = jnp.maximum(m, rolled)
             shift *= 2
-        v = m + ALN_INDEL * lanes
+        v = m + ALN_INDEL * cols
 
         stored = jnp.where(valid, v, 0)
-        best = jnp.maximum(best, jnp.max(stored, axis=1))
-        qbuf = pltpu.roll(qbuf, shift=qbuf.shape[1] - 1, axis=1)
-        wbuf = pltpu.roll(wbuf, shift=wbuf.shape[1] - 1, axis=1)
-        return stored, best, qbuf, wbuf
+        best = jnp.maximum(best, stored)
+        return stored, best
 
-    prev0 = jnp.zeros((jb, LANES), jnp.int32)
-    best0 = jnp.zeros((jb,), dtype=jnp.int32)
-    q0 = q_ref[:].astype(jnp.int32)
-    qbuf0 = pltpu.roll(q0, shift=q0.shape[1] - 1, axis=1)
-    wbuf0 = win_ref[:].astype(jnp.int32)
-    _, best, _, _ = jax.lax.fori_loop(
-        1, n_rows, row_step, (prev0, best0, qbuf0, wbuf0))
-    out_ref[:, 0] = best
+    prev0 = jnp.zeros((BAND, jb), jnp.int32)
+    _, best = jax.lax.fori_loop(
+        0, n_rows, row_step, (prev0, prev0))
+    out_ref[0, :] = jnp.max(best, axis=0)
 
 
-def build_banded_scorer(lp: int = 128, jb: int = 16, interpret: bool = False):
-    """Returns a jitted f(q_shift, win, bw, qsz) -> scores (J, 1) i32.
+def win_start(pos, bw):
+    """Genome nibble index of a job's window row 0: the band placement
+    t_beg = pos - (bw-1)/2 plus the row reparametrization's ti shift
+    (module docstring) collapse to pos + (bw-1)/2 - QOFF."""
+    return pos + (bw - 1) // 2 - QOFF
 
-    q_shift: (J, lp + BW_MAX + LANES) u8 -- query nibbles of job j placed
-        at [bw_j, bw_j + q_sz); zeros elsewhere.
-    win: (J, lp + BW_MAX + 2) u8 -- genome nibbles from t_beg_j.
+
+def build_banded_scorer(lp: int = 128, jb: int = 128,
+                        interpret: bool = False):
+    """Returns a jitted f(q, win, bw, qsz) -> scores (J, 1) i32.
+
+    q: (J, >= lp) u8 -- query nibbles of job j at column 0 (NOT shifted
+        per job; the v3 row reparametrization makes the query placement
+        bandwidth-free).
+    win: (J, >= lp + QOFF) u8 -- genome nibbles from win_start(pos, bw).
     bw: (J, 1) i32 band widths; qsz: (J, 1) i32 query lengths.
-    """
+
+    J must be a multiple of jb.  Internally the inputs are transposed to
+    (positions, jobs) i32 so the kernel's per-row query window is a
+    sublane-axis dynamic slice (see module docstring)."""
     import jax
     import jax.numpy as jnp
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
-    qw = lp + BW_MAX + LANES
-    ww = lp + BW_MAX + 2
+    n_rows = lp + QOFF
+    qt_rows = ((n_rows - 1 + BAND) + 7) & ~7  # max ds start + BAND
+    wt_rows = (n_rows + 7) & ~7
     body = functools.partial(_kernel_body, jnp, jax, pl, pltpu,
                              lp=lp, jb=jb)
 
-    def scorer(q_shift, win, bw, qsz):
-        j = q_shift.shape[0]
+    def scorer(q, win, bw, qsz):
+        j = q.shape[0]
         grid = (j // jb,)
-        return pl.pallas_call(
+        nq = min(qt_rows - QOFF, q.shape[1])
+        qt = jnp.zeros((qt_rows, j), jnp.int32).at[QOFF : QOFF + nq].set(
+            q.T[:nq].astype(jnp.int32))
+        wt = jnp.zeros((wt_rows, j), jnp.int32).at[
+            : min(wt_rows, win.shape[1])].set(
+            win.T[:wt_rows].astype(jnp.int32))
+        out = pl.pallas_call(
             body,
             grid=grid,
             in_specs=[
-                pl.BlockSpec((jb, qw), lambda g: (g, 0),
+                pl.BlockSpec((qt_rows, jb), lambda g: (0, g),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((jb, ww), lambda g: (g, 0),
+                pl.BlockSpec((wt_rows, jb), lambda g: (0, g),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((jb, 1), lambda g: (g, 0),
+                pl.BlockSpec((1, jb), lambda g: (0, g),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((jb, 1), lambda g: (g, 0),
+                pl.BlockSpec((1, jb), lambda g: (0, g),
                              memory_space=pltpu.VMEM),
             ],
-            out_specs=pl.BlockSpec((jb, 1), lambda g: (g, 0),
+            out_specs=pl.BlockSpec((1, jb), lambda g: (0, g),
                                    memory_space=pltpu.VMEM),
-            out_shape=jax.ShapeDtypeStruct((j, 1), jnp.int32),
+            out_shape=jax.ShapeDtypeStruct((1, j), jnp.int32),
             interpret=interpret,
-        )(q_shift, win, bw, qsz)
+        )(qt, wt, bw.reshape(1, j), qsz.reshape(1, j))
+        return out.T
 
     return jax.jit(scorer)
 
 
-def prepare_jobs(genome_nib: np.ndarray, jobs, lp: int = 128, jb: int = 16):
+def prepare_jobs(genome_nib: np.ndarray, jobs, lp: int = 128, jb: int = 128):
     """Host-side packing: jobs = [(query_nibbles, diffs, max_diffs, t_pos)].
-    Returns (q_shift, win, bw, qsz, n_jobs_padded)."""
+    Returns (q, win, bw, qsz, n_jobs_padded) in the v3 layout (query at
+    column 0, window from win_start(pos, bw))."""
     n = len(jobs)
     j_pad = ((n + jb - 1) // jb) * jb if n else jb
-    q_shift = np.zeros((j_pad, lp + BW_MAX + LANES), dtype=np.uint8)
-    win = np.zeros((j_pad, lp + BW_MAX + 2), dtype=np.uint8)
+    ww = lp + QOFF
+    q_rows = np.zeros((j_pad, lp), dtype=np.uint8)
+    win = np.zeros((j_pad, ww), dtype=np.uint8)
     bw = np.ones((j_pad, 1), dtype=np.int32)
     qsz = np.zeros((j_pad, 1), dtype=np.int32)
     for i, (q, diffs, max_diffs, t_pos) in enumerate(jobs):
         b = 2 * min(diffs, max_diffs) + 1
         b = BW_MAX if b < 0 else min(BW_MAX, b)
-        t_beg = t_pos - (b - 1) // 2
         length = q.shape[0]
-        q_shift[i, b : b + length] = q
-        w = genome_nib[t_beg : t_beg + length + BW_MAX + 2]
-        win[i, : w.shape[0]] = w
+        q_rows[i, :length] = q
+        g0 = win_start(t_pos, b)
+        w = genome_nib[max(g0, 0) : g0 + ww]
+        win[i, max(g0, 0) - g0 : (max(g0, 0) - g0) + w.shape[0]] = w
         bw[i, 0] = b
         qsz[i, 0] = length
-    return q_shift, win, bw, qsz, j_pad
+    return q_rows, win, bw, qsz, j_pad
 
 
 def score_jobs(genome_nib: np.ndarray, jobs, lp: int = 128,
@@ -160,13 +189,13 @@ def score_jobs(genome_nib: np.ndarray, jobs, lp: int = 128,
     0 must be short-circuited by the caller, as in the reference."""
     if not jobs:
         return []
-    q_shift, win, bw, qsz, _ = prepare_jobs(genome_nib, jobs, lp)
+    q_rows, win, bw, qsz, _ = prepare_jobs(genome_nib, jobs, lp)
     scorer = build_banded_scorer(lp, interpret=interpret)
-    out = np.asarray(scorer(q_shift, win, bw, qsz))
+    out = np.asarray(scorer(q_rows, win, bw, qsz))
     return [int(out[i, 0]) for i in range(len(jobs))]
 
 
-def build_device_align(lp: int = 128, jb: int = 16, interpret: bool = False):
+def build_device_align(lp: int = 128, jb: int = 128, interpret: bool = False):
     """Device-resident batched scoring for the mapping hot path: takes the
     packed genome + the stage-1 unit matrix already in HBM plus compact job
     descriptors (unit row, genome pos, band width, query length), builds the
@@ -181,26 +210,20 @@ def build_device_align(lp: int = 128, jb: int = 16, interpret: bool = False):
     import jax.numpy as jnp
 
     scorer = build_banded_scorer(lp, jb, interpret=interpret)
-    qw = lp + BW_MAX + LANES
-    ww = lp + BW_MAX + 2
+    ww = lp + QOFF
 
     def prog(genome32, pnib, unit_id, pos, bw, qsz):
         j = unit_id.shape[0]
         rows = pnib[unit_id]
         q = jnp.stack([rows & np.uint8(0xF), rows >> np.uint8(4)],
                       axis=2).reshape(j, -1)
-        col = jnp.arange(qw, dtype=jnp.int32)[None, :]
-        src = col - bw[:, None]
-        valid = (src >= 0) & (src < qsz[:, None])
-        srcc = jnp.clip(src, 0, q.shape[1] - 1)
-        q_shift = jnp.where(valid, jnp.take_along_axis(q, srcc, axis=1),
-                            np.uint8(0))
-        t_beg = pos - ((bw - 1) // 2).astype(jnp.uint32)
-        gpos = t_beg[:, None] + jnp.arange(ww, dtype=jnp.uint32)[None, :]
+        g0 = (pos + ((bw - 1) // 2).astype(jnp.uint32)
+              - np.uint32(QOFF))  # win_start
+        gpos = g0[:, None] + jnp.arange(ww, dtype=jnp.uint32)[None, :]
         word = genome32[(gpos >> np.uint32(3)).astype(jnp.int32)]
         win = ((word >> ((gpos & np.uint32(7)) * np.uint32(4)))
                & np.uint32(0xF)).astype(jnp.uint8)
-        out = scorer(q_shift, win, bw[:, None], qsz[:, None])
+        out = scorer(q, win, bw[:, None], qsz[:, None])
         return out[:, 0]
 
     return jax.jit(prog)

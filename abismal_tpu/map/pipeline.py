@@ -46,7 +46,11 @@ def auto_cand_budget(n_index2: int, n_index3: int, lmax: int) -> int:
     avg2 = n_index2 / float(1 << KEY_WEIGHT)
     avg3 = n_index3 / float(HASH3_MOD)
     est = int((avg2 + avg3) * (o_spec + o_sens) * 8)
-    return max(384, min(8192, (est + 127) & ~127))
+    # the budget is POOLED over the unit batch (global prefix sums), so a
+    # few-x margin over the measured mean suffices: tRex1 means 11.4
+    # candidates/unit (est = 34); compare/list cost scales linearly with
+    # the padded pool, so a tight floor is a direct speedup
+    return max(64, min(8192, (est + 63) & ~63))
 
 
 def o_spec_for(lmax: int) -> int:
@@ -94,6 +98,22 @@ def pack_genome_u32(genome_words_u64: np.ndarray, guard: int = 64):
     return out
 
 
+def overlap_rows_u32(genome32: np.ndarray) -> np.ndarray:
+    """2x-overlapped aligned row view of the packed genome: row r holds
+    words [32r, 32r+64), so any <= 45-word window lives in ONE row, turning
+    the per-candidate window fetch into a single aligned-row gather (TPU
+    gathers are issue-rate-bound at ~24 ns/row regardless of row width;
+    wide rows amortize that 15x vs element gathers -- measured by
+    tools/microbench_gather.py)."""
+    n = genome32.shape[0]
+    rows = (n + 31) // 32 + 2  # +2 guard rows: long-read jobs splice row+2
+    pad = np.zeros(rows * 32 + 64, dtype=np.uint32)
+    pad[:n] = genome32
+    a = pad[: rows * 32].reshape(rows, 32)
+    b = pad[32 : rows * 32 + 32].reshape(rows, 32)
+    return np.concatenate([a, b], axis=1)
+
+
 class DeviceIndex:
     """Device-resident index tables (replicated per chip by default).
     Position lists are concatenated as [two-letter | three-letter C->T |
@@ -102,7 +122,9 @@ class DeviceIndex:
     def __init__(self, index, device_put=None):
         jax, _ = _jm()
         put = device_put or jax.device_put
-        self.genome32 = put(pack_genome_u32(index.genome_words))
+        g32 = pack_genome_u32(index.genome_words)
+        self.genome32 = put(g32)
+        self.genome2o = put(overlap_rows_u32(g32))
         self.counter2 = put(index.counter.astype(np.int32))
         # three-letter counter tables stacked [c_to_t | g_to_a]
         self.counter3 = put(np.concatenate(
@@ -117,7 +139,8 @@ class DeviceIndex:
         self.max_candidates = int(index.max_candidates)
 
     def tables(self):
-        return (self.genome32, self.counter2, self.counter3, self.index_all)
+        return (self.genome32, self.genome2o, self.counter2, self.counter3,
+                self.index_all)
 
 
 def _tp_key_bounds(counter: np.ndarray, n_shards: int) -> np.ndarray:
@@ -185,8 +208,12 @@ def _resolve_cand_budget(cand_per_unit, n_index2, n_index3, lmax):
     return int(os.environ.get("ABISMAL_TPU_CAND_PER_UNIT", cand_per_unit))
 
 
+CORE_CUTS = ("hash", "ranges", "extend", "list")
+
+
 def _make_core(lmax: int, max_candidates: int, n_index2: int,
-               n_index3: int, cand_per_unit: int, tp: bool):
+               n_index3: int, cand_per_unit: int, tp: bool,
+               cut: str | None = None):
     """Builds the candidate-generation core shared by stage-1 (event-stream
     output for the host replay) and the fused stage-1+2 program (device
     decide/align; build_stage12).
@@ -203,8 +230,8 @@ def _make_core(lmax: int, max_candidates: int, n_index2: int,
       4. one popcount-compare pass over the global list using contiguous
          window slice-gathers from the packed genome.
 
-    Returns (core, o_spec): core(genome32, counter2, counter3, index_all,
-    pnib, lens, is_ga, shard) -> dict of per-candidate arrays (pos, d,
+    Returns (core, o_spec): core(genome32, genome2o, counter2, counter3,
+    index_all, pnib, lens, is_ga, shard) -> dict of per-candidate arrays (pos, d,
     b_of, cell_of, slot, valid), per-unit spans (unit_start, unit_total)
     and overflow flags (cell cap or unit candidate budget exceeded)."""
     jax, jnp = _jm()
@@ -229,7 +256,7 @@ def _make_core(lmax: int, max_candidates: int, n_index2: int,
         word = genome32[(pos >> np.uint32(3)).astype(jnp.int32)]
         return (word >> ((pos & np.uint32(7)) * np.uint32(4))) & np.uint32(0xF)
 
-    def core(genome32, counter2, counter3, index_all, pnib, lens,
+    def core(genome32, genome2o, counter2, counter3, index_all, pnib, lens,
              is_ga, shard=None):
         """pnib: (B, (lmax+32)/2) u8 with two read nibbles per byte (base i
         in nibble i&1 of byte i>>1); lens: (B,) i32; is_ga: (B,) bool.
@@ -286,6 +313,11 @@ def _make_core(lmax: int, max_candidates: int, n_index2: int,
             k3t = k3t * 3 + tct[:, j : j + o_sens]
             k3a = k3a * 3 + tga[:, j : j + o_sens]
         k3_all = jnp.where(is_ga[:, None], k3a % HASH3_MOD, k3t % HASH3_MOD)
+        if cut == "hash":  # profiling cut: pack + rolling hashes
+            return dict(cut=jnp.stack(
+                [jnp.sum(packed.astype(jnp.int32)),
+                 jnp.sum(k2_all.astype(jnp.int32)),
+                 jnp.sum(k3_all.astype(jnp.int32)), jnp.sum(wmask)]))
 
         specific_len = jnp.minimum(lens - WINDOW_SIZE, lens >> 1)
         specific_lim = jnp.where(
@@ -318,6 +350,10 @@ def _make_core(lmax: int, max_candidates: int, n_index2: int,
             e2 = jnp.where(act2_sp, e2 - pb2, 0)
             s3 = jnp.where(act3_sp, s3 - pb3u[:, None], 0)
             e3 = jnp.where(act3_sp, e3 - pb3u[:, None], 0)
+
+        if cut == "ranges":  # profiling cut: + specific bucket ranges
+            return dict(cut=jnp.stack([jnp.sum(s2), jnp.sum(e2),
+                                       jnp.sum(s3), jnp.sum(e3)]))
 
         # --- vectorized seed extension over (B * o_spec) lanes ---
         stride = preads.shape[1]
@@ -447,6 +483,10 @@ def _make_core(lmax: int, max_candidates: int, n_index2: int,
             s3x = s3x.reshape(B, o_spec)
             e3x = e3x.reshape(B, o_spec)
 
+        if cut == "extend":  # profiling cut: + binary-search extension
+            return dict(cut=jnp.stack([jnp.sum(l2), jnp.sum(s2x),
+                                       jnp.sum(l3), jnp.sum(e3x)]))
+
         d2 = e2x - s2x
         d3 = e3x - s3x
         check2_sp = act2_sp & ((d2 <= max_candidates)
@@ -532,11 +572,29 @@ def _make_core(lmax: int, max_candidates: int, n_index2: int,
                .astype(jnp.uint32) - cell_offs[cell_of].astype(jnp.uint32))
         pos = jnp.where(valid, pos, 0)
 
+        if cut == "list":  # profiling cut: + global candidate list (pos)
+            return dict(cut=jnp.stack([jnp.sum(pos.astype(jnp.int32)),
+                                       jnp.sum(b_of), jnp.sum(slot),
+                                       jnp.sum(unit_total)]))
+
         # --- popcount compare over contiguous genome windows ---
+        # ONE overlapped aligned-row gather per candidate (64 words cover
+        # any 19-word window), then a 5-step log-roll aligns the window to
+        # column 0 with pure vector ops: gathers are issue-rate-bound on
+        # TPU, so 1 row-gather beats 19 element-gathers ~15x
         w = (pos >> np.uint32(3)).astype(jnp.int32)
         sh = (pos & np.uint32(7)) * np.uint32(4)
-        win = genome32[w[:, None]
-                       + jnp.arange(n_words + 1, dtype=jnp.int32)[None, :]]
+        A = genome2o[w >> 5]
+        if n_words + 1 + 31 > 64:
+            # lmax > 256: one 64-word row can't cover worst-case offset +
+            # window; splice the next 32 words from row (w>>5)+2
+            A = jnp.concatenate([A, genome2o[(w >> 5) + 2][:, :32]], axis=1)
+        ow = w & 31
+        for s in (16, 8, 4, 2, 1):
+            rolled = jnp.concatenate(
+                [A[:, s:], jnp.zeros((gflat, s), jnp.uint32)], axis=1)
+            A = jnp.where((ow & s)[:, None] != 0, rolled, A)
+        win = A[:, : n_words + 1]
         packed_rows = packed[b_of]
         wmask_rows = wmask[b_of]
         d = jnp.zeros((gflat,), dtype=jnp.int32)
@@ -581,16 +639,16 @@ def build_stage1(lmax: int, max_candidates: int, n_index2: int,
     GCAP_PER_UNIT = gcap_per_unit
     CAND_PER_UNIT = cand_per_unit
 
-    def stage1(genome32, counter2, counter3, index_all, pnib, lens,
-               is_ga, thr, shard=None):
+    def stage1(genome32, genome2o, counter2, counter3, index_all, pnib,
+               lens, is_ga, thr, shard=None):
         """Returns (ev, cf): a global event stream (u32 positions and
         (diffs+512)<<22|rank) and per-unit count|overflow words (the
         device->host link prefers few small messages)."""
         B = pnib.shape[0]
         gcap = B * GCAP_PER_UNIT
         gflat = B * CAND_PER_UNIT
-        c = core(genome32, counter2, counter3, index_all, pnib, lens,
-                 is_ga, shard)
+        c = core(genome32, genome2o, counter2, counter3, index_all,
+                 pnib, lens, is_ga, shard)
         pos, d, b_of = c["pos"], c["d"], c["b_of"]
         cell_of, slot, valid = c["cell_of"], c["slot"], c["valid"]
         unit_start, unit_total = c["unit_start"], c["unit_total"]
@@ -647,7 +705,7 @@ REC_UNMAPPED, REC_EXACT, REC_ALIGNED, REC_FALLBACK = 0, 1, 2, 3
 def build_stage12(lmax: int, max_candidates: int, n_index2: int,
                   n_index3: int, per: int, cand_per_unit: int | None = None,
                   k_slots: int = 50, jobs_per_read: int = 8,
-                  interpret: bool = False):
+                  interpret: bool = False, cut: str | None = None):
     """Fused device stage-1+2 for single-end mapping: ONE jitted program
     runs candidate generation (the shared core), the reference's candidate
     -set decision logic, batched banded-alignment scoring (Pallas), and
@@ -674,8 +732,8 @@ def build_stage12(lmax: int, max_candidates: int, n_index2: int,
 
     per: units per read (2, or 4 for RPBAT).  Returns (stage12, o_spec).
 
-    stage12(genome32, counter2, counter3, index_all, pnib, lens, is_ga,
-            scode, max_diffs_r) -> (R, 4) i32 records:
+    stage12(genome32, genome2o, counter2, counter3, index_all, pnib,
+            lens, is_ga, scode, max_diffs_r) -> (R, 4) i32 records:
       col0 = status | flags << 3   (flags incl. the ambiguous bit)
       col1 = candidate diffs (pre-alignment; 0 for exact)
       col2 = genome position (u32 bitcast)
@@ -684,7 +742,7 @@ def build_stage12(lmax: int, max_candidates: int, n_index2: int,
     read r (empty reads upload zero-length rows); scode is the (per,)
     strand-code pattern; max_diffs_r is int(valid_frac * len) per read
     (host-computed: valid_frac is an arbitrary CLI float)."""
-    from ..kernels.banded_align import BW_MAX, LANES, build_banded_scorer
+    from ..kernels.banded_align import BW_MAX, QOFF, build_banded_scorer
 
     cand_per_unit = _resolve_cand_budget(cand_per_unit, n_index2, n_index3,
                                          lmax)
@@ -692,30 +750,35 @@ def build_stage12(lmax: int, max_candidates: int, n_index2: int,
     jobs_per_read = int(os.environ.get("ABISMAL_TPU_JOBS_PER_READ",
                                        jobs_per_read))
     memo_key = (lmax, max_candidates, n_index2, n_index3, per,
-                cand_per_unit, k_slots, jobs_per_read, interpret)
+                cand_per_unit, k_slots, jobs_per_read, interpret, cut)
     if memo_key in _stage12_memo:
         return _stage12_memo[memo_key]
     jax, jnp = _jm()
     core, o_spec = _make_core(lmax, max_candidates, n_index2, n_index3,
-                              cand_per_unit, tp=False)
-    scorer = build_banded_scorer(lmax, 16, interpret=interpret)
+                              cand_per_unit, tp=False,
+                              cut=cut if cut in CORE_CUTS else None)
+    scorer = build_banded_scorer(lmax, interpret=interpret)
     K = k_slots
-    QW = lmax + BW_MAX + LANES
-    WW = lmax + BW_MAX + 2
+    WW3 = lmax + QOFF  # v3 window rows per job
     F_RC, F_SECONDARY, F_A_RICH = 0x10, 0x100, 0x1000
     POS_EMPTY = np.uint32(0xFFFFFFFF)
 
-    def stage12(genome32, counter2, counter3, index_all, pnib, lens,
-                is_ga, scode, max_diffs_r):
+    def stage12(genome32, genome2o, counter2, counter3, index_all,
+                pnib, lens, is_ga, scode, max_diffs_r):
         B = pnib.shape[0]
         R = B // per
-        J = ((jobs_per_read * R + 15) // 16) * 16
-        c = core(genome32, counter2, counter3, index_all, pnib, lens,
-                 is_ga, None)
+        J = ((jobs_per_read * R + 127) // 128) * 128
+        c = core(genome32, genome2o, counter2, counter3, index_all,
+                 pnib, lens, is_ga, None)
+        if "cut" in c:  # profiling cut inside the core
+            return c["cut"]
         pos, d, b_of = c["pos"], c["d"], c["b_of"]
         cell_of, valid = c["cell_of"], c["valid"]
         unit_total, overflow = c["unit_total"], c["overflow"]
         ncand = pos.shape[0]
+        if cut == "core":  # profiling cut: candidate core only
+            return jnp.stack([jnp.sum(pos.astype(jnp.int32)), jnp.sum(d),
+                              jnp.sum(valid), jnp.sum(unit_total)])
 
         r_of = b_of // per
         rlen = jnp.max(lens.reshape(R, per), axis=1)
@@ -777,6 +840,9 @@ def build_stage12(lmax: int, max_candidates: int, n_index2: int,
             axis=1)
         candm = filled & ~dup
         vh = candm & (dK < sens_gate[:, None])  # valid_hit: strict <
+        if cut == "decide":  # profiling cut: + gates/compaction/sort
+            return jnp.stack([jnp.sum(posK.astype(jnp.int32)), jnp.sum(dK),
+                              jnp.sum(vh), jnp.sum(has_ex)])
 
         # --- batched banded scoring of every valid hit (Pallas) ---
         bwK = 2 * jnp.minimum(dK, max_diffs_r[:, None]) + 1
@@ -805,22 +871,41 @@ def build_stage12(lmax: int, max_candidates: int, n_index2: int,
             jnp.repeat(rlen, K))
         junit, jpos = junit[:J], jpos[:J]
         jbw, jqsz = jbw[:J], jqsz[:J]
-        # shifted query rows + genome windows (build_device_align layout)
+        # v3 job prep: ONE unit-row gather for the query (the kernel's row
+        # reparametrization needs no per-job query shift) and ONE
+        # overlapped genome-row gather for the window, nibble-aligned by a
+        # log-roll of pure vector ops -- gathers are issue-rate-bound, so
+        # 2 row-gathers/job replace ~500 element-gathers/job
         rows = pnib[junit]
         q = jnp.stack([rows & np.uint8(0xF), rows >> np.uint8(4)],
                       axis=2).reshape(J, -1)
-        col = jnp.arange(QW, dtype=jnp.int32)[None, :]
-        src = col - jbw[:, None]
-        okq = (src >= 0) & (src < jqsz[:, None])
-        srcc = jnp.clip(src, 0, q.shape[1] - 1)
-        q_shift = jnp.where(okq, jnp.take_along_axis(q, srcc, axis=1),
-                            np.uint8(0))
-        t_beg = jpos - ((jbw - 1) // 2).astype(jnp.uint32)
-        gp = t_beg[:, None] + jnp.arange(WW, dtype=jnp.uint32)[None, :]
-        word = genome32[(gp >> np.uint32(3)).astype(jnp.int32)]
-        win = ((word >> ((gp & np.uint32(7)) * np.uint32(4)))
-               & np.uint32(0xF)).astype(jnp.uint8)
-        scores_j = scorer(q_shift, win, jbw[:, None], jqsz[:, None])[:, 0]
+        g0 = jpos + ((jbw - 1) // 2).astype(jnp.uint32) - np.uint32(QOFF)
+        grow = (g0 >> np.uint32(8)).astype(jnp.int32)
+        A = genome2o[grow]  # (J, 64) u32 = 512 nibbles from 256*grow
+        if WW3 + 255 > 512:
+            # long reads (lmax > 197): one row doesn't cover worst-case
+            # offset + window; splice the next 256 nibbles from the first
+            # half of row grow+2 (overlap stride 256 nibbles/row)
+            A = jnp.concatenate([A, genome2o[grow + 2][:, :32]], axis=1)
+        nwords = A.shape[1]
+        nshift = (np.uint32(4)
+                  * jnp.arange(8, dtype=jnp.uint32))[None, None, :]
+        nib = ((A[:, :, None] >> nshift)
+               & np.uint32(0xF)).astype(jnp.uint8).reshape(J, nwords * 8)
+        off = (g0 & np.uint32(255)).astype(jnp.int32)
+        for s_ in (128, 64, 32, 16, 8, 4, 2, 1):
+            rolled = jnp.concatenate(
+                [nib[:, s_:], jnp.zeros((J, s_), jnp.uint8)], axis=1)
+            nib = jnp.where((off & s_)[:, None] != 0, rolled, nib)
+        win = nib[:, :WW3]
+        if cut == "jobs":  # profiling cut: + job build/gathers, no scorer
+            return jnp.stack([jnp.sum(q.astype(jnp.int32)),
+                              jnp.sum(win.astype(jnp.int32)),
+                              jnp.sum(jbw), jnp.sum(jqsz)])
+        scores_j = scorer(q, win, jbw[:, None], jqsz[:, None])[:, 0]
+        if cut == "score":  # profiling cut: + Pallas scorer
+            return jnp.stack([jnp.sum(scores_j), jnp.sum(jbw),
+                              jnp.sum(jqsz), jnp.sum(vh)])
         scrK = jnp.where(
             job_ok.reshape(R, K),
             scores_j[jnp.minimum(jexc, J - 1)].reshape(R, K), 0)
@@ -1186,6 +1271,7 @@ class TpuNativeEngine:
             shd = NamedSharding(tp_mesh, P("data"))
             self._tables_tp = (
                 jax.device_put(tp.genome32, rep),
+                jax.device_put(overlap_rows_u32(tp.genome32), rep),
                 jax.device_put(tp.counter2_np, rep),
                 jax.device_put(tp.counter3_np, rep),
                 jax.device_put(tp.index_local, shd),

@@ -67,21 +67,22 @@ def shard_stage1_tp(stage1, mesh):
     rep = P()
     sh = P("data")
 
-    def wrapped(genome32, counter2, counter3, index_local, shardinfo,
-                preads, lens, is_ga, thr):
-        def inner(genome32, counter2, counter3, index_local, shardinfo,
-                  preads, lens, is_ga, thr):
-            ev, cf = stage1(genome32, counter2, counter3, index_local[0],
-                            preads, lens, is_ga, thr, shard=shardinfo[0])
+    def wrapped(genome32, genome2o, counter2, counter3, index_local,
+                shardinfo, preads, lens, is_ga, thr):
+        def inner(genome32, genome2o, counter2, counter3, index_local,
+                  shardinfo, preads, lens, is_ga, thr):
+            ev, cf = stage1(genome32, genome2o, counter2, counter3,
+                            index_local[0], preads, lens, is_ga, thr,
+                            shard=shardinfo[0])
             return ev, cf[None, :]
 
         return shard_map(
             inner, mesh=mesh,
-            in_specs=(rep, rep, rep, P("data", None), P("data", None),
+            in_specs=(rep, rep, rep, rep, P("data", None), P("data", None),
                       rep, rep, rep, rep),
             out_specs=(P("data", None), P("data", None)),
             check_rep=False,
-        )(genome32, counter2, counter3, index_local, shardinfo,
+        )(genome32, genome2o, counter2, counter3, index_local, shardinfo,
           preads, lens, is_ga, thr)
 
     return jax.jit(wrapped)
