@@ -114,6 +114,17 @@ def overlap_rows_u32(genome32: np.ndarray) -> np.ndarray:
     return np.concatenate([a, b], axis=1)
 
 
+def counter_pairs(counter: np.ndarray) -> np.ndarray:
+    """(N+1,) bucket-offset prefix array -> (N, 2) aligned (start, end)
+    rows: bucket k's range always needs counter[k] AND counter[k+1], and
+    TPU gathers are issue-rate-bound per ROW (width nearly free), so one
+    pair-row gather replaces two element gathers (2x on the bucket-range
+    stages; tools/microbench_gather.py).  i32 with modular wrap, matching
+    the TP rebase arithmetic."""
+    c = counter.astype(np.int32)
+    return np.ascontiguousarray(np.stack([c[:-1], c[1:]], axis=1))
+
+
 class DeviceIndex:
     """Device-resident index tables (replicated per chip by default).
     Position lists are concatenated as [two-letter | three-letter C->T |
@@ -125,10 +136,11 @@ class DeviceIndex:
         g32 = pack_genome_u32(index.genome_words)
         self.genome32 = put(g32)
         self.genome2o = put(overlap_rows_u32(g32))
-        self.counter2 = put(index.counter.astype(np.int32))
+        self.counter2 = put(counter_pairs(index.counter))
         # three-letter counter tables stacked [c_to_t | g_to_a]
         self.counter3 = put(np.concatenate(
-            [index.counter_t, index.counter_a]).astype(np.int32))
+            [counter_pairs(index.counter_t),
+             counter_pairs(index.counter_a)], axis=0))
         index_all = np.concatenate(
             [index.index, index.index_t, index.index_a]).astype(np.int32)
         if index_all.shape[0] == 0:
@@ -167,9 +179,10 @@ class DeviceIndexTP:
     def __init__(self, index, n_shards: int):
         self.n_shards = n_shards
         self.genome32 = pack_genome_u32(index.genome_words)
-        self.counter2_np = index.counter.astype(np.int32)
+        self.counter2_np = counter_pairs(index.counter)
         self.counter3_np = np.concatenate(
-            [index.counter_t, index.counter_a]).astype(np.int32)
+            [counter_pairs(index.counter_t),
+             counter_pairs(index.counter_a)], axis=0)
         b2 = _tp_key_bounds(index.counter, n_shards)
         bt = _tp_key_bounds(index.counter_t, n_shards)
         ba = _tp_key_bounds(index.counter_a, n_shards)
@@ -337,12 +350,14 @@ def _make_core(lmax: int, max_candidates: int, n_index2: int,
         else:
             act2_sp = act3_sp = act_sp
         k2s = jnp.where(act2_sp, k2_all[:, :o_spec], 0).astype(jnp.int32)
-        s2 = jnp.where(act2_sp, counter2[k2s], 0)
-        e2 = jnp.where(act2_sp, counter2[k2s + 1], 0)
+        p2sp = counter2[k2s]  # (B, o_spec, 2) (start, end) pair rows
+        s2 = jnp.where(act2_sp, p2sp[..., 0], 0)
+        e2 = jnp.where(act2_sp, p2sp[..., 1], 0)
         k3s = (jnp.where(act3_sp, k3_all[:, :o_spec], 0).astype(jnp.int32)
                + c3_base[:, None])
-        s3 = jnp.where(act3_sp, counter3[k3s], 0)
-        e3 = jnp.where(act3_sp, counter3[k3s + 1], 0)
+        p3sp = counter3[k3s]
+        s3 = jnp.where(act3_sp, p3sp[..., 0], 0)
+        e3 = jnp.where(act3_sp, p3sp[..., 1], 0)
         if tp:
             # rebase into this shard's local position lists (masked cells
             # collapse to the empty range [0, 0))
@@ -511,13 +526,15 @@ def _make_core(lmax: int, max_candidates: int, n_index2: int,
         # without owning the 3-letter one); list OFFSETS are additionally
         # masked by shard ownership and rebased
         k2n = jnp.where(act_sn, k2_all, 0).astype(jnp.int32)
-        s2n_g = jnp.where(act_sn, counter2[k2n], 0)
-        e2n_g = jnp.where(act_sn, counter2[k2n + 1], 0)
+        p2sn = counter2[k2n]  # (B, o_sens, 2) pair rows
+        s2n_g = jnp.where(act_sn, p2sn[..., 0], 0)
+        e2n_g = jnp.where(act_sn, p2sn[..., 1], 0)
         d2n = e2n_g - s2n_g
         k3n = (jnp.where(act_sn, k3_all, 0).astype(jnp.int32)
                + c3_base[:, None])
-        s3n_g = jnp.where(act_sn, counter3[k3n], 0)
-        e3n_g = jnp.where(act_sn, counter3[k3n + 1], 0)
+        p3sn = counter3[k3n]
+        s3n_g = jnp.where(act_sn, p3sn[..., 0], 0)
+        e3n_g = jnp.where(act_sn, p3sn[..., 1], 0)
         d3n = e3n_g - s3n_g
         if tp:
             s2n = jnp.where(act2_sn, s2n_g - pb2, 0)
