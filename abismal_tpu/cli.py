@@ -133,12 +133,20 @@ def cmd_map(argv):
     p.add_argument("-t", "--threads", type=int, default=1)
     p.add_argument("-v", "--verbose", action="store_true")
     p.add_argument("--engine",
-                   choices=["native", "tpu", "exact", "tpu-replay"],
+                   choices=["native", "tpu", "hybrid", "exact",
+                            "tpu-replay"],
                    default="native",
                    help="mapping engine: native (C++ host, default), tpu "
-                        "(device stage-1 + native stage-2), exact (Python "
-                        "oracle), tpu-replay (device stage-1 + Python "
-                        "replay; debugging)")
+                        "(device stage-1+2 + native finalize), hybrid "
+                        "(native AND tpu engines on disjoint read shards "
+                        "concurrently; their throughputs add), exact "
+                        "(Python oracle), tpu-replay (device stage-1 + "
+                        "Python replay; debugging)")
+    p.add_argument("--device-share", dest="device_share", type=float,
+                   default=None,
+                   help="--engine hybrid: fraction of reads routed to the "
+                        "accelerator (default $ABISMAL_DEVICE_SHARE or "
+                        "0.15; pick ~= dev_rate / (dev_rate + host_rate))")
     p.add_argument("--lmax", type=int, default=128,
                    help="padded read length for the device pipeline; reads "
                         "longer than this use the host path")
@@ -246,6 +254,37 @@ def cmd_map(argv):
         index = create_index(a.genome)
     if a.max_candidates:
         index.max_candidates = a.max_candidates
+
+    if a.engine == "hybrid":
+        from .map.engine import _write_stats
+        from .map.hybrid_split import (
+            NativeShardServer,
+            run_map_hybrid_split,
+        )
+
+        paired = reads2 is not None
+        # with a prebuilt index (-i) the host shard gets its own pristine
+        # worker process (the native engine is measurably slower inside
+        # the accelerator-runtime process); otherwise it runs in-process
+        server = None
+        if a.index:
+            server = NativeShardServer(
+                a.index, a.ambig, a.max_distance, a.min_frag, a.max_frag,
+                threads=max(1, a.threads))
+        try:
+            stats = run_map_hybrid_split(
+                index, a.reads_files[0], reads2, a.outfile, command_line,
+                device_share=a.device_share, threads=max(1, a.threads),
+                a_rich=a.a_rich, pbat=a.pbat, random_pbat=a.random_pbat,
+                allow_ambig=a.ambig, valid_frac=a.max_distance,
+                pe_min_dist=a.min_frag, pe_max_dist=a.max_frag,
+                lmax=a.lmax, bam=a.bam, verbose=a.verbose,
+                native_server=server)
+        finally:
+            if server is not None:
+                server.close()
+        _write_stats(stats, a.stats or None, a.json, paired, a.ambig)
+        return 0
 
     engine_factory = None
     if a.engine == "native":

@@ -85,10 +85,15 @@ def bam_header_payload(sam_header_text: str) -> bytes:
 class BamWriter:
     """Accepts the engine's SAM text via write(); emits BAM."""
 
-    def __init__(self, path: str):
+    def __init__(self, path: str, emit_header: bool = True):
+        """emit_header=False consumes @-lines for the reference dictionary
+        (tid mapping) but writes no header block -- a non-rank-0 shard of
+        a multi-shard BAM whose gather concatenates after a rank-0 shard
+        that carries the header."""
         self.out = BgzfWriter(path)
         self._header_lines = []
         self._in_header = True
+        self._emit = emit_header
         self._refs = []  # (name, length)
         self._ref_idx = {}
 
@@ -112,6 +117,8 @@ class BamWriter:
                 name = fields["SN"]
                 self._ref_idx[name] = len(self._refs)
                 self._refs.append((name, int(fields["LN"])))
+        if not self._emit:
+            return
         text = ("\n".join(self._header_lines) + "\n").encode()
         out = self.out
         out.write(b"BAM\x01" + struct.pack("<i", len(text)) + text)

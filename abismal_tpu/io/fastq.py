@@ -31,19 +31,35 @@ class ReadLoader:
     """Streams (name, read) batches of `batch_size` reads
     (abismal.cpp:150-209)."""
 
-    def __init__(self, path: str, batch_size: int = 1000):
+    def __init__(self, path: str, batch_size: int = 1000, skip: int = 0,
+                 count: int | None = None):
+        """skip/count select a contiguous read-range shard [skip,
+        skip+count) of the file (multi-host / hybrid-split sharding)."""
         self.path = path
         self.batch_size = batch_size
         self._fh = open_maybe_gzip(path)
         self._eof = False
         self.cur_line = 0
+        self._remaining = count
+        if skip:
+            import itertools
+
+            # consume 4*skip lines at C speed (file iteration is readline
+            # -based for Buffered/GzipFile, so mixing with readline is ok)
+            consumed = sum(1 for _ in itertools.islice(self._fh, 4 * skip))
+            self.cur_line += consumed
+            if consumed < 4 * skip:
+                self._eof = True
 
     def __bool__(self) -> bool:
-        return not self._eof
+        return not self._eof and self._remaining != 0
 
     def load_batch(self):
         out = []
-        for _ in range(self.batch_size):
+        n = self.batch_size
+        if self._remaining is not None:
+            n = min(n, self._remaining)
+        for _ in range(n):
             header = self._fh.readline()
             if not header:
                 self._eof = True
@@ -66,6 +82,8 @@ class ReadLoader:
             self._fh.readline()  # quality
             self.cur_line += 4
             out.append((name, clean_read(seq)))
+        if self._remaining is not None:
+            self._remaining -= len(out)
         return out
 
     @property

@@ -10,12 +10,13 @@ from ..constants import CIGAR_OPS, CIGAR_SHIFT, CIGAR_TYPE, VERSION_STRING
 
 
 @contextmanager
-def open_sam_output(path: str, bam: bool = False):
+def open_sam_output(path: str, bam: bool = False,
+                    bam_emit_header: bool = True):
     """Text-SAM or BAM sink; both accept SAM text via write()."""
     if bam:
         from .bam import BamWriter
 
-        w = BamWriter(path)
+        w = BamWriter(path, emit_header=bam_emit_header)
         try:
             yield w
         finally:

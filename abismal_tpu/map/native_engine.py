@@ -311,10 +311,15 @@ class NativeMappingEngine:
 
 def run_map_pipelined(engine, index, reads_file1, reads_file2, out_path,
                       command_line, a_rich=False, pbat=False,
-                      random_pbat=False, bam=False, verbose=False):
+                      random_pbat=False, bam=False, verbose=False,
+                      skip=0, count=None, write_header=True):
     """Batch loop for engines with the dispatch/finish interface: batch k+1's
     device work (if any) is dispatched before batch k is finished, so the
-    accelerator overlaps the native decide/align/format stage."""
+    accelerator overlaps the native decide/align/format stage.
+
+    skip/count restrict the run to the read-range shard [skip, skip+count)
+    and write_header=False omits the SAM header (hybrid-split / multi-host
+    shard output; the gather step concatenates shards in rank order)."""
     import sys
     import time as _time
 
@@ -327,6 +332,8 @@ def run_map_pipelined(engine, index, reads_file1, reads_file2, out_path,
     # fully-native loop: for SAM-text output from the pure-native engine,
     # the whole read->map->write stream runs inside the C++ library
     if getattr(engine, "supports_streaming", False):
+        assert skip == 0 and count is None and write_header, \
+            "shard-range options require a dispatch/finish engine"
         import sys as _sys
         import time as _t
 
@@ -363,12 +370,16 @@ def run_map_pipelined(engine, index, reads_file1, reads_file2, out_path,
         from ..utils.progress import file_progress
 
         bar = file_progress(reads_file1)
-    with open_sam_output(out_path, bam) as out:
-        out.write(make_sam_header(index.cl, command_line))
+    with open_sam_output(out_path, bam,
+                         bam_emit_header=write_header) as out:
+        if write_header or bam:
+            # BAM sinks always consume the header text: with write_header
+            # False it only builds the tid dictionary, emitting nothing
+            out.write(make_sam_header(index.cl, command_line))
         if not paired:
             stats = SEStats()
             a_rich_mode = a_rich or pbat
-            rl = ReadLoader(reads_file1, batch_size)
+            rl = ReadLoader(reads_file1, batch_size, skip=skip, count=count)
             q = deque()
             while rl:
                 batch = rl.load_batch()
@@ -388,8 +399,8 @@ def run_map_pipelined(engine, index, reads_file1, reads_file2, out_path,
                 n_processed += engine.finish_se(q.popleft(), stats, out)
         else:
             stats = PEStats()
-            rl1 = ReadLoader(reads_file1, batch_size)
-            rl2 = ReadLoader(reads_file2, batch_size)
+            rl1 = ReadLoader(reads_file1, batch_size, skip=skip, count=count)
+            rl2 = ReadLoader(reads_file2, batch_size, skip=skip, count=count)
             q = deque()
             while rl1 and rl2:
                 b1 = rl1.load_batch()

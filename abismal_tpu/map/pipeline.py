@@ -221,7 +221,7 @@ def _resolve_cand_budget(cand_per_unit, n_index2, n_index3, lmax):
     return int(os.environ.get("ABISMAL_TPU_CAND_PER_UNIT", cand_per_unit))
 
 
-CORE_CUTS = ("hash", "ranges", "extend", "list")
+CORE_CUTS = ("hash", "ranges", "extend", "list", "unitstats")
 
 
 def _make_core(lmax: int, max_candidates: int, n_index2: int,
@@ -593,6 +593,10 @@ def _make_core(lmax: int, max_candidates: int, n_index2: int,
             return dict(cut=jnp.stack([jnp.sum(pos.astype(jnp.int32)),
                                        jnp.sum(b_of), jnp.sum(slot),
                                        jnp.sum(unit_total)]))
+        if cut == "unitstats":  # diagnostics: per-unit candidate counts +
+            # overflow flags (scale measurement, tools/scale_device.py)
+            return dict(cut=jnp.stack([unit_total,
+                                       overflow.astype(jnp.int32)]))
 
         # --- popcount compare over contiguous genome windows ---
         # ONE overlapped aligned-row gather per candidate (64 words cover
@@ -1245,7 +1249,7 @@ class TpuNativeEngine:
                  unit_batch: int = 2048, n_threads: int = 1,
                  device_put=None, mesh_devices=None, device_align=None,
                  align_jcap: int = 8192, index_shards=None,
-                 device_stage2=None):
+                 device_stage2=None, device_index=None):
         from .native_engine import NativeMappingEngine
 
         if mesh_devices and index_shards:
@@ -1296,7 +1300,7 @@ class TpuNativeEngine:
             )
             self._stage1_tp = shard_stage1_tp(self.stage1, tp_mesh)
         else:
-            self.dev = DeviceIndex(index, device_put)
+            self.dev = device_index or DeviceIndex(index, device_put)
             self.stage1, self.o_spec = build_stage1(
                 lmax, self.dev.max_candidates, self.dev.n_index2,
                 self.dev.n_index3)

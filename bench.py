@@ -31,7 +31,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 GOLDEN_SAM_MD5 = "8126d46074213ad3674181f4ea4f8bd1"
 N_READS = 10000
-N_REPS = {"native": 20, "hybrid": 5}
+N_REPS = {"native": 20, "hybrid": 5, "split": 8}
 HYBRID_DEADLINE_S = int(os.environ.get("ABISMAL_BENCH_DEADLINE", "1800"))
 
 
@@ -60,12 +60,87 @@ def _bench_mode(mode: str) -> dict:
     sam = os.path.join(d, "out.sam")
 
     threads = os.cpu_count() or 1
+    cl = ("map -s tests/reads.mstats -o tests/reads.sam -i tests/tRex1.idx "
+          "tests/reads_1.fq")
+
+    if mode == "split":
+        # native + device engines on disjoint read shards, concurrently;
+        # the split point is calibrated from single-engine rates measured
+        # on this box right now.  A 10x larger read set is used so the
+        # device shard spans several pipelined chunks (at 10k reads it is
+        # a single padded chunk); ground truth for the big set is the
+        # native engine's own output, which is itself md5-verified against
+        # the upstream golden on the 10k set above.
+        from abismal_tpu.io.sam import make_sam_header
+        from abismal_tpu.map.hybrid_split import (
+            NativeShardServer,
+            run_map_hybrid_split,
+        )
+
+        n_big = 10 * N_READS
+        simulate_reads(genome, SimConfig(
+            output_prefix=os.path.join(d, "big"), n_reads=n_big,
+            mutation_rate=0.01, bs_conv=0.98, seed=2, single_end=True))
+        big_fq = os.path.join(d, "big_1.fq")
+
+        # the host shard runs in its own pristine worker process (the
+        # native engine measures ~40% slower inside the JAX process)
+        idx_path = "/tmp/abismal_tpu_test_cache/tRex1.idx"
+        srv = NativeShardServer(idx_path, threads=threads)
+        dev_f = make_tpu_native_engine_factory(n_threads=1)
+        dev = dev_f(index, False, 0.1, 32, 3000)
+        hdr = make_sam_header(index.cl, cl).encode()
+
+        def timed(fn):
+            t0 = time.perf_counter()
+            fn()
+            return time.perf_counter() - t0
+
+        def nat_only(src, n, dst):
+            srv.map_range(src, None, dst, hdr, False, False, 0, n, False,
+                          False)
+            srv.wait()
+
+        def split_once(share):
+            return timed(lambda: run_map_hybrid_split(
+                index, big_fq, None, sam, cl, device_share=share,
+                threads=threads, native_server=srv, tpu_engine=dev,
+                total_reads=n_big))
+
+        # 10k-set md5 verification of the worker's output anchors the
+        # big-set ground truth
+        nat_only(fq, N_READS, sam)
+        if hashlib.md5(open(sam, "rb").read()).hexdigest() != GOLDEN_SAM_MD5:
+            return {"best": 0.0, "median": 0.0, "fallback": None}
+        t_nat = min(timed(lambda: nat_only(big_fq, n_big, sam))
+                    for _ in range(2))
+        truth_md5 = hashlib.md5(open(sam, "rb").read()).hexdigest()
+        split_once(0.1)  # warmup: device compile + first transfers
+        t_dev = timed(lambda: run_map(
+            index, big_fq, None, sam, None, cl, engine_factory=dev_f,
+            threads=threads))
+        share = (1.0 / t_dev) / (1.0 / t_dev + 1.0 / t_nat)
+        rates = []
+        for _ in range(N_REPS[mode]):
+            dt = split_once(share)
+            got = hashlib.md5(open(sam, "rb").read()).hexdigest()
+            if got == truth_md5:
+                rates.append(n_big / dt)
+        srv.close()
+        n_units = getattr(dev, "n_units", 0)
+        fallback = ((getattr(dev, "n_fallback", 0) / n_units)
+                    if n_units else None)
+        return {
+            "best": max(rates) if rates else 0.0,
+            "median": statistics.median(rates) if rates else 0.0,
+            "fallback": fallback,
+            "device_share": round(share, 4),
+        }
+
     if mode == "hybrid":
         factory = make_tpu_native_engine_factory(n_threads=threads)
     else:
         factory = make_native_engine_factory(n_threads=threads)
-    cl = ("map -s tests/reads.mstats -o tests/reads.sam -i tests/tRex1.idx "
-          "tests/reads_1.fq")
 
     # warmup: engine construction, device compile, first-transfer path
     run_map(index, fq, None, sam, None, cl, engine_factory=factory,
@@ -133,20 +208,29 @@ def main():
     r = _run_child("hybrid", HYBRID_DEADLINE_S)
     if r:
         results["hybrid"] = r
+    # hybrid-split last: native + device engines concurrently on disjoint
+    # read shards (their rates add); same deadline guard
+    r = _run_child("split", HYBRID_DEADLINE_S)
+    if r:
+        results["split"] = r
     if not results:
         results["native"] = _bench_mode("native")  # last resort, in-process
 
     mode = max(results, key=lambda m: results[m]["best"])
     reads_per_s = results[mode]["best"]
-    desc = ("device stage-1+2 + native finalize" if mode == "hybrid"
-            else "fully-native streaming engine")
-    # both modes' best/median rates and the hybrid fallback fraction ride
+    desc = {"hybrid": "device stage-1+2 + native finalize",
+            "split": "hybrid split: native engine + device engine on "
+                     "disjoint read shards, concurrently",
+            "native": "fully-native streaming engine"}[mode]
+    # all modes' best/median rates and the device fallback fraction ride
     # along so artifacts record variance and device-path health, not just
     # the winning peak
     detail = {m: {"best": round(v["best"], 1),
                   "median": round(v["median"], 1),
                   **({"fallback_frac": round(v["fallback"], 5)}
-                     if v.get("fallback") is not None else {})}
+                     if v.get("fallback") is not None else {}),
+                  **({"device_share": v["device_share"]}
+                     if v.get("device_share") is not None else {})}
               for m, v in results.items()}
     print(json.dumps({
         "metric": "end-to-end SE mapping, "
