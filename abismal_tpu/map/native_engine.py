@@ -142,6 +142,40 @@ class NativeMappingEngine:
             for i, f in enumerate(_SE_FIELDS):
                 setattr(dst, f, getattr(dst, f) + int(st[6 * blk + i]))
 
+    def _call_pe_slots(self, reads1, reads2, a_rich_mode, random_pbat,
+                       stats, out, sl_pos, sl_ds, sl_cnt):
+        """PE finalize from device stage-1+2 candidate slots (pipeline.py
+        build_stage12pe): per-unit prescored candidate lists replace the
+        event stream and the host score pass; units with cnt < 0 re-seed
+        natively (byte-identical at any fallback rate)."""
+        if len(reads1) != len(reads2):
+            raise RuntimeError(
+                f"paired-end batch sizes differ. Batch 1: {len(reads1)}, "
+                f"Batch 2: {len(reads2)}. Are you sure your paired-end "
+                "inputs have the same number of reads?")
+        n1, s1 = zip(*reads1) if reads1 else ((), ())
+        n2, s2 = zip(*reads2) if reads2 else ((), ())
+        r1b, r1o = _blob(list(s1))
+        n1b, n1o = _blob([n.encode() for n in n1])
+        r2b, r2o = _blob(list(s2))
+        n2b, n2o = _blob([n.encode() for n in n2])
+        sl_pos = np.ascontiguousarray(sl_pos, dtype=np.uint32)
+        sl_ds = np.ascontiguousarray(sl_ds, dtype=np.int32)
+        sl_cnt = np.ascontiguousarray(sl_cnt, dtype=np.int32)
+        st = np.zeros(18, dtype=np.int64)
+        n = self.lib.engine_map_pe_batch_slots(
+            self._ctx, _ptr(r1b), _ptr(r1o), _ptr(n1b), _ptr(n1o),
+            _ptr(r2b), _ptr(r2o), _ptr(n2b), _ptr(n2o),
+            len(reads1), int(a_rich_mode), int(random_pbat),
+            _ptr(sl_pos), _ptr(sl_ds), _ptr(sl_cnt), sl_pos.shape[1],
+            self.n_threads, _ptr(st))
+        out.write(ctypes.string_at(self.lib.engine_out_ptr(self._ctx),
+                                   n).decode())
+        for blk, dst in enumerate((stats.read_pair_stats, stats.end1_stats,
+                                   stats.end2_stats)):
+            for i, f in enumerate(_SE_FIELDS):
+                setattr(dst, f, getattr(dst, f) + int(st[6 * blk + i]))
+
     # ---- device stage-2 finalize (pipeline.py build_stage12) ---------------
     def _finalize_se(self, reads, a_rich_mode, random_pbat, records, stats,
                      out):

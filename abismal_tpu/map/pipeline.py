@@ -979,6 +979,141 @@ def build_stage12(lmax: int, max_candidates: int, n_index2: int,
     return result
 
 
+_stage12pe_memo = {}
+
+
+def build_stage12pe(lmax: int, max_candidates: int, n_index2: int,
+                    n_index3: int, cand_per_unit: int | None = None,
+                    k_slots: int = 32, jobs_per_unit: int = 8,
+                    interpret: bool = False):
+    """Fused device stage-1+2 for paired-end mapping: ONE jitted program
+    runs candidate generation (the shared core), the reference's
+    pe_candidates acceptance gates, and Pallas banded scoring of every
+    kept candidate, returning a compact per-UNIT candidate slot table
+    (8 B/slot) that the native engine consumes directly (fill-from-slots
+    + injected-score best_pair; _engine.cpp) -- no event stream, no
+    re-seeding, no host score pass.
+
+    Exactness argument: while a pe_candidates heap is NOT full its
+    acceptance cutoff is constant per phase -- the sentinel v[0] holds
+    the max diffs int(0.4*len), so cutoff == good_cutoff (len/10) during
+    the specific phase (set_specific + min-with-front) and == v[0].d
+    during the sensitive phase (abismal.cpp:776-852).  Acceptance is
+    then a pure per-candidate predicate in discovery order.  Units whose
+    accepted count would FILL the 32-slot heap (> 31 inserts, where the
+    capacity-doubling and pop-replacement paths begin) fall back to
+    native seeding, as do units with core overflow or a band width
+    beyond the Pallas kernel's BW_MAX.
+
+    stage12pe(genome32, genome2o, counter2, counter3, index_all, pnib,
+              lens, is_ga, max_diffs_u) ->
+      pos (B, K) u32   candidate genome positions, discovery order
+      ds  (B, K) i32   (diffs << 16) | (score & 0xFFFF)
+      cnt (B,)   i32   accepted count, or -1 => native-seeding fallback
+    """
+    from ..kernels.banded_align import BW_MAX, QOFF, build_banded_scorer
+
+    cand_per_unit = _resolve_cand_budget(cand_per_unit, n_index2, n_index3,
+                                         lmax)
+    jobs_per_unit = int(os.environ.get("ABISMAL_TPU_JOBS_PER_UNIT",
+                                       jobs_per_unit))
+    memo_key = (lmax, max_candidates, n_index2, n_index3, cand_per_unit,
+                k_slots, jobs_per_unit, interpret)
+    if memo_key in _stage12pe_memo:
+        return _stage12pe_memo[memo_key]
+    jax, jnp = _jm()
+    core, o_spec = _make_core(lmax, max_candidates, n_index2, n_index3,
+                              cand_per_unit, tp=False)
+    scorer = build_banded_scorer(lmax, interpret=interpret)
+    K = k_slots
+    WW3 = lmax + QOFF
+
+    def stage12pe(genome32, genome2o, counter2, counter3, index_all,
+                  pnib, lens, is_ga, max_diffs_u):
+        B = pnib.shape[0]
+        J = ((jobs_per_unit * B + 127) // 128) * 128
+        c = core(genome32, genome2o, counter2, counter3, index_all,
+                 pnib, lens, is_ga, None)
+        pos, d, b_of = c["pos"], c["d"], c["b_of"]
+        cell_of, valid = c["cell_of"], c["valid"]
+        unit_start, unit_total = c["unit_start"], c["unit_total"]
+        overflow = c["overflow"]
+        ncand = pos.shape[0]
+
+        good_cut = lens // 10                 # == readlen / 10
+        sens_gate = (2 * lens) // 5           # == int(0.4 * len), sentinel
+        phase_sp = cell_of < 2 * o_spec
+        gate = valid & jnp.where(phase_sp, d <= good_cut[b_of],
+                                 d <= sens_gate[b_of])
+
+        # per-unit slot index among accepted candidates, discovery order
+        acc = gate.astype(jnp.int32)
+        c_inc = jnp.cumsum(acc)
+        c_exc = c_inc - acc
+        c_at = jnp.concatenate([c_exc, c_inc[-1:]])
+        base = c_at[jnp.minimum(unit_start, ncand)]
+        n_acc = c_at[jnp.minimum(unit_start + unit_total, ncand)] - base
+        heap_fb = n_acc > K - 1  # insert #32 fills the heap
+        slot_u = c_exc - base[b_of]
+        keep = gate & (slot_u < K - 1)
+        dest = jnp.where(keep, b_of * K + jnp.minimum(slot_u, K - 1), B * K)
+        posK = jnp.zeros(B * K + 1, jnp.uint32).at[dest].set(pos)
+        dKf = jnp.zeros(B * K + 1, jnp.int32).at[dest].set(d)
+
+        # --- score every kept candidate (Pallas) ---
+        md = max_diffs_u[b_of]
+        bw_c = 2 * jnp.minimum(d, md) + 1
+        bw_fb = jnp.zeros(B, bool).at[b_of].max(keep & (bw_c > BW_MAX))
+        jm = keep.astype(jnp.int32)
+        jexc = jnp.cumsum(jm) - jm
+        job_ok = keep & (jexc < J)
+        job_fb = jnp.zeros(B, bool).at[b_of].max(keep & (jexc >= J))
+        jdest = jnp.where(job_ok, jexc, J)
+        junit = jnp.zeros(J + 1, jnp.int32).at[jdest].set(b_of)
+        jpos = jnp.full(J + 1, 32767, jnp.uint32).at[jdest].set(pos)
+        jbw = jnp.ones(J + 1, jnp.int32).at[jdest].set(
+            jnp.minimum(bw_c, BW_MAX))
+        jqsz = jnp.zeros(J + 1, jnp.int32).at[jdest].set(lens[b_of])
+        junit, jpos = junit[:J], jpos[:J]
+        jbw, jqsz = jbw[:J], jqsz[:J]
+
+        rows = pnib[junit]
+        q = jnp.stack([rows & np.uint8(0xF), rows >> np.uint8(4)],
+                      axis=2).reshape(J, -1)
+        g0 = jpos + ((jbw - 1) // 2).astype(jnp.uint32) - np.uint32(QOFF)
+        grow = (g0 >> np.uint32(8)).astype(jnp.int32)
+        A = genome2o[grow]
+        if WW3 + 255 > 512:
+            A = jnp.concatenate([A, genome2o[grow + 2][:, :32]], axis=1)
+        nwords = A.shape[1]
+        nshift = (np.uint32(4)
+                  * jnp.arange(8, dtype=jnp.uint32))[None, None, :]
+        nib = ((A[:, :, None] >> nshift)
+               & np.uint32(0xF)).astype(jnp.uint8).reshape(J, nwords * 8)
+        off = (g0 & np.uint32(255)).astype(jnp.int32)
+        for s_ in (128, 64, 32, 16, 8, 4, 2, 1):
+            rolled = jnp.concatenate(
+                [nib[:, s_:], jnp.zeros((J, s_), jnp.uint8)], axis=1)
+            nib = jnp.where((off & s_)[:, None] != 0, rolled, nib)
+        win = nib[:, :WW3]
+        scores_j = scorer(q, win, jbw[:, None], jqsz[:, None])[:, 0]
+
+        scr_c = jnp.where(job_ok, scores_j[jnp.minimum(jexc, J - 1)], 0)
+        scrK = jnp.zeros(B * K + 1, jnp.int32).at[dest].set(scr_c)
+
+        fb = overflow | heap_fb | bw_fb | job_fb | ((lens > 0)
+                                                    & (lens < 49))
+        cnt = jnp.where(fb, -1, n_acc)
+        ds = (dKf[: B * K].reshape(B, K) << 16) | (
+            scrK[: B * K].reshape(B, K) & 0xFFFF)
+        return (jax.lax.bitcast_convert_type(
+            posK[: B * K].reshape(B, K), jnp.int32), ds, cnt)
+
+    result = (jax.jit(stage12pe), o_spec)
+    _stage12pe_memo[memo_key] = result
+    return result
+
+
 def replay_events(res, sc: int, ev_pos, ev_diffs, ev_rank, count: int,
                   o_spec: int) -> None:
     """Replays process_seeds' sequential candidate-set updates
@@ -1550,6 +1685,18 @@ class TpuNativeEngine:
             self._stage12_progs[per] = prog
         return prog
 
+    def _stage12pe_prog(self):
+        prog = self._stage12_progs.get("pe")
+        if prog is None:
+            import jax
+
+            interp = jax.default_backend() == "cpu"
+            prog, _ = build_stage12pe(self.lmax, self.dev.max_candidates,
+                                      self.dev.n_index2, self.dev.n_index3,
+                                      interpret=interp)
+            self._stage12_progs["pe"] = prog
+        return prog
+
     @staticmethod
     def _se_scode_pattern(a_rich_mode, random_pbat):
         if not random_pbat:
@@ -1589,6 +1736,46 @@ class TpuNativeEngine:
                 units.append(prep_read(rc, False))
                 units.append(prep_read(rc, True))
         return units, per, oversized
+
+    def _pe_units_dense(self, reads1, reads2, a_rich_mode, random_pbat):
+        """Dense PE layout for build_stage12pe: every pair occupies
+        exactly `per` consecutive unit rows in _pe_units_flat order
+        (native map_one_pe's unit-id enumeration); pairs with an
+        oversized end upload zero-length rows and are forced to native
+        seeding on collection."""
+        from ..utils.dna import revcomp_str
+
+        per = 8 if random_pbat else 4
+        convs = [a_rich_mode] if not random_pbat else [False, True]
+        units = []
+        oversized = np.zeros(len(reads1), dtype=bool)
+        empty_row = np.zeros(0, dtype=np.uint8)
+        for ri, ((_, r1), (_, r2)) in enumerate(zip(reads1, reads2)):
+            if (r1 and len(r1) > self.lmax) or (r2 and len(r2) > self.lmax):
+                oversized[ri] = True
+                units.extend([empty_row] * per)
+                continue
+            rc1 = revcomp_str(r1.decode()).encode() if r1 else b""
+            rc2 = revcomp_str(r2.decode()).encode() if r2 else b""
+            for conv in convs:
+                units.append(prep_read(r1, conv) if r1 else empty_row)
+                units.append(prep_read(rc2, conv) if r2 else empty_row)
+                units.append(prep_read(r2, not conv) if r2 else empty_row)
+                units.append(prep_read(rc1, not conv) if r1 else empty_row)
+        return units, per, oversized
+
+    @staticmethod
+    def _pe_is_ga_pattern(a_rich_mode, random_pbat):
+        """Per-unit conversion (G->A table?) flags in _pe_units_flat
+        order."""
+        convs = [a_rich_mode] if not random_pbat else [False, True]
+        pat = []
+        for conv in convs:
+            pat += [get_conv_is_ga(strand_code("+", conv)),
+                    get_conv_is_ga(strand_code("-", not conv)),
+                    get_conv_is_ga(strand_code("+", not conv)),
+                    get_conv_is_ga(strand_code("-", conv))]
+        return np.array(pat, dtype=bool)
 
     def _dispatch_se_stage12(self, reads, a_rich_mode, random_pbat):
         units, per, oversized = self._se_units_dense(reads, a_rich_mode,
@@ -1642,6 +1829,67 @@ class TpuNativeEngine:
         self.native._finalize_se(reads, arm, rp, records[:R], stats, out)
         self.stage_time["native stage-2"] += time.perf_counter() - t2
         return R
+
+    def _dispatch_pe_stage12(self, reads1, reads2, a_rich_mode,
+                             random_pbat):
+        units, per, oversized = self._pe_units_dense(reads1, reads2,
+                                                     a_rich_mode,
+                                                     random_pbat)
+        is_ga_pat = self._pe_is_ga_pattern(a_rich_mode, random_pbat)
+        prog = self._stage12pe_prog()
+        B = self.unit_batch - (self.unit_batch % per)
+        ppc = B // per  # pairs per chunk
+        pending = []
+        for start in range(0, len(reads1), ppc):
+            chunk = units[start * per : (start + ppc) * per]
+            n = len(chunk)
+            preads, lens = prepare_units(chunk, self.lmax)
+            pad = B - n
+            if pad:
+                preads = np.pad(preads, ((0, pad), (0, 0)))
+                lens = np.pad(lens, (0, pad))
+            # int(valid_frac * len) per UNIT (PE ends differ in length)
+            max_diffs_u = (self.valid_frac
+                           * lens.astype(np.float64)).astype(np.int32)
+            is_ga = np.tile(is_ga_pat, B // per)
+            posK, ds, cnt = prog(*self.dev.tables(), preads, lens, is_ga,
+                                 max_diffs_u)
+            for a in (posK, ds, cnt):
+                try:
+                    a.copy_to_host_async()
+                except (AttributeError, RuntimeError):
+                    pass
+            pending.append((start, n, posK, ds, cnt))
+        return (reads1, reads2, a_rich_mode, random_pbat, per, pending,
+                oversized)
+
+    def _finish_pe_stage12(self, handle, stats, out):
+        reads1, reads2, arm, rp, per, pending, oversized = handle
+        t1 = time.perf_counter()
+        n_units = per * len(reads1)
+        K = 32
+        pos_all = np.zeros((max(n_units, 1), K), dtype=np.uint32)
+        ds_all = np.zeros((max(n_units, 1), K), dtype=np.int32)
+        cnt_all = np.full(max(n_units, 1), -1, dtype=np.int32)
+        for start, n, posK, ds, cnt in pending:
+            s = start * per
+            pos_all[s : s + n] = np.asarray(posK)[:n].view(np.uint32)
+            ds_all[s : s + n] = np.asarray(ds)[:n]
+            cnt_all[s : s + n] = np.asarray(cnt)[:n]
+        idx = np.flatnonzero(oversized)
+        for ri in idx:
+            cnt_all[ri * per : (ri + 1) * per] = -1
+        n_fb = int((cnt_all[:n_units] < 0).sum())
+        with self._counter_lock:
+            self.n_units += n_units
+            self.n_fallback += n_fb
+        t2 = time.perf_counter()
+        self.stage_time["device collect"] += t2 - t1
+        self.native._call_pe_slots(reads1, reads2, arm, rp, stats, out,
+                                   pos_all[:n_units], ds_all[:n_units],
+                                   cnt_all[:n_units])
+        self.stage_time["native stage-2"] += time.perf_counter() - t2
+        return len(reads1)
 
     # --- pipeline interface -------------------------------------------------
     def dispatch_se(self, reads, a_rich_mode, random_pbat):
@@ -1729,6 +1977,11 @@ class TpuNativeEngine:
 
     def dispatch_pe(self, reads1, reads2, a_rich_mode, random_pbat):
         t0 = time.perf_counter()
+        if self.device_stage2:
+            h = self._dispatch_pe_stage12(reads1, reads2, a_rich_mode,
+                                          random_pbat)
+            self.stage_time["device dispatch"] += time.perf_counter() - t0
+            return ("s2",) + h
         units, n_units = self._pe_units_flat(reads1, reads2, a_rich_mode,
                                              random_pbat)
         t1 = time.perf_counter()
@@ -1740,6 +1993,8 @@ class TpuNativeEngine:
         return (reads1, reads2, a_rich_mode, random_pbat, n_units, disp, fut)
 
     def finish_pe(self, handle, stats, out):
+        if handle[0] == "s2":
+            return self._finish_pe_stage12(handle[1:], stats, out)
         reads1, reads2, arm, rp, n_units, disp, fut = handle
         t0 = time.perf_counter()
         events, self._unit_loc = fut.result()

@@ -183,6 +183,15 @@ def get_engine_lib() -> ctypes.CDLL:
             + [ctypes.c_int64, ctypes.c_int, ctypes.c_int]
             + _ev + [ctypes.c_int, ctypes.c_void_p]
         )
+        lib.engine_map_pe_batch_slots.restype = ctypes.c_int64
+        lib.engine_map_pe_batch_slots.argtypes = (
+            [ctypes.c_void_p]
+            + [ctypes.c_void_p] * 8  # two ends x (reads, offs, names, offs)
+            + [ctypes.c_int64, ctypes.c_int, ctypes.c_int]
+            + [ctypes.c_void_p] * 3  # slot pos / ds / cnt
+            + [ctypes.c_int64]       # k2 (slots per unit)
+            + [ctypes.c_int, ctypes.c_void_p]
+        )
         lib.engine_out_ptr.restype = ctypes.c_void_p
         lib.engine_out_ptr.argtypes = [ctypes.c_void_p]
 

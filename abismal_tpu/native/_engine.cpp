@@ -829,6 +829,15 @@ struct Events {
   const int64_t *count = nullptr;  // per unit; -1 => native seeding fallback
   int64_t boundary = 0;            // o_spec * 2 * SLOT
   bool present() const { return pos != nullptr; }
+
+  // device stage-1+2 PE candidate slots (pipeline.py build_stage12pe):
+  // per-unit prescored candidate lists in discovery order, replacing both
+  // the event stream and the host score pass
+  const uint32_t *sl_pos = nullptr;  // (n_units, k2)
+  const int32_t *sl_ds = nullptr;    // (diffs << 16) | (score & 0xffff)
+  const int32_t *sl_cnt = nullptr;   // per unit; -1 => native seeding
+  int64_t k2 = 0;
+  bool slots() const { return sl_pos != nullptr; }
 };
 
 struct Engine {
@@ -1732,24 +1741,89 @@ bool map_fragments(const Engine &E, Worker &w, const Events &ev,
     return false;
   const uint8_t *pread1 = nullptr;
   const uint8_t *pread2 = nullptr;
+  // device-prescored candidate slots (pipeline.py build_stage12pe): fill
+  // the candidate set directly in discovery order -- exact because the
+  // device only emits units whose heap never filled (constant-cutoff
+  // acceptance; capacity growth and pop-replacement imply cnt = -1)
+  const bool s1ok = ev.slots() && ev.sl_cnt[u1] >= 0;
+  const bool s2ok = ev.slots() && ev.sl_cnt[u2] >= 0;
+  const auto fill_slots = [&](int64_t u, uint32_t sc, PECand &res) {
+    // re-inserts via push_heap so the heap-ARRAY layout (which
+    // prepare_for_mating's stable_sort and dedup see for equal-pos
+    // duplicates) matches native seeding exactly
+    const int n = (int)ev.sl_cnt[u];
+    const uint32_t *pp = ev.sl_pos + u * ev.k2;
+    const int32_t *dd = ev.sl_ds + u * ev.k2;
+    for (int i = 0; i < n; ++i) {
+      res.v[res.sz] = Elem{dd[i] >> 16, sc, pp[i]};
+      ++res.sz;
+      push_heap(res.v.data(), res.sz);
+    }
+  };
   if (len1) {
     encode_read(read1, len1, conv_a_rich, w.buf[b1]);
     pread1 = w.buf[b1].data();
-    seeds(E, w, ev, u1, pread1, len1, sc1, res1);
+    if (s1ok)
+      fill_slots(u1, sc1, res1);
+    else
+      seeds(E, w, ev, u1, pread1, len1, sc1, res1);
   }
   if (len2) {
     revcomp_ascii(read2, len2, w.rcbuf[rcb]);
     encode_read(w.rcbuf[rcb].data(), len2, conv_a_rich, w.buf[b2]);
     pread2 = w.buf[b2].data();
-    seeds(E, w, ev, u2, pread2, len2, sc2, res2);
+    if (s2ok)
+      fill_slots(u2, sc2, res2);
+    else
+      seeds(E, w, ev, u2, pread2, len2, sc2, res2);
   }
   // select_maps (abismal.cpp:1833-1847)
   if (res1.should_align() && res2.should_align()) {
     res1.prepare_for_mating();
     res2.prepare_for_mating();
     Cigar nc1, nc2;
-    if (best_pair(E, w, res1, res2, pread1, len1, pread2, len2, best,
-                  swap_ends, nc1, nc2)) {
+    bool bp;
+    if (s1ok || s2ok) {
+      // injected scores from the device slot table, looked up by
+      // (pos, diffs); anything not found (or a native-seeded mate) runs
+      // the host aligner -- score-identical, the Pallas kernel is
+      // int-exact vs the AVX-512 path (tests/test_pipeline.py)
+      const int32_t md1 = diffs_cutoff(len1, E.valid_frac);
+      const int32_t md2 = diffs_cutoff(len2, E.valid_frac);
+      const auto look = [&](int64_t u, const Elem &s) -> int32_t {
+        const int n = (int)ev.sl_cnt[u];
+        const uint32_t *pp = ev.sl_pos + u * ev.k2;
+        const int32_t *dd = ev.sl_ds + u * ev.k2;
+        for (int i = 0; i < n; ++i)
+          if (pp[i] == s.p && (dd[i] >> 16) == s.d)
+            return dd[i] & 0xffff;
+        return INT32_MIN;
+      };
+      bp = best_pair_impl(
+        E, w, res1, res2, pread1, len1, pread2, len2, best, swap_ends,
+        nc1, nc2,
+        [&](int64_t, const Elem &s1) {
+          if (s1ok) {
+            const int32_t v = look(u1, s1);
+            if (v != INT32_MIN)
+              return v;
+          }
+          return w.aln.align(s1.d, md1, pread1, len1, s1.p, false);
+        },
+        [&](int64_t, const Elem &s2) {
+          if (s2ok) {
+            const int32_t v = look(u2, s2);
+            if (v != INT32_MIN)
+              return v;
+          }
+          return w.aln.align(s2.d, md2, pread2, len2, s2.p, false);
+        });
+    }
+    else {
+      bp = best_pair(E, w, res1, res2, pread1, len1, pread2, len2, best,
+                     swap_ends, nc1, nc2);
+    }
+    if (bp) {
       *c_this1 = nc1;
       *c_this2 = nc2;
     }
@@ -2287,6 +2361,47 @@ int64_t engine_map_pe_batch(void *eng, const uint8_t *reads1_blob,
     max_len = std::max<int64_t>(max_len, read2_offs[i + 1] - read2_offs[i]);
   }
 
+  run_threads(E, n_reads, n_threads, [&](Worker &w, int64_t lo, int64_t hi) {
+    w.aln.reset(max_len);
+    for (int64_t ri = lo; ri < hi; ++ri) {
+      map_one_pe(E, w, ev, ri, names1_blob + name1_offs[ri],
+                 name1_offs[ri + 1] - name1_offs[ri],
+                 reads1_blob + read1_offs[ri],
+                 (int)(read1_offs[ri + 1] - read1_offs[ri]),
+                 names2_blob + name2_offs[ri],
+                 name2_offs[ri + 1] - name2_offs[ri],
+                 reads2_blob + read2_offs[ri],
+                 (int)(read2_offs[ri + 1] - read2_offs[ri]),
+                 a_rich_mode != 0, random_pbat != 0);
+    }
+  });
+  sum_stats(E, stats_out, 18);
+  return (int64_t)E.out.size();
+}
+
+// PE finalize from device stage-1+2 candidate slots (pipeline.py
+// build_stage12pe): per-unit prescored candidate lists replace both the
+// event stream and the host score pass; units with cnt < 0 re-seed
+// natively.  Output is byte-identical at any fallback rate.
+int64_t engine_map_pe_batch_slots(
+  void *eng, const uint8_t *reads1_blob, const int64_t *read1_offs,
+  const uint8_t *names1_blob, const int64_t *name1_offs,
+  const uint8_t *reads2_blob, const int64_t *read2_offs,
+  const uint8_t *names2_blob, const int64_t *name2_offs, int64_t n_reads,
+  int a_rich_mode, int random_pbat, const uint32_t *sl_pos,
+  const int32_t *sl_ds, const int32_t *sl_cnt, int64_t k2, int n_threads,
+  int64_t *stats_out) {
+  Engine &E = *(Engine *)eng;
+  Events ev{};
+  ev.sl_pos = sl_pos;
+  ev.sl_ds = sl_ds;
+  ev.sl_cnt = sl_cnt;
+  ev.k2 = k2;
+  int max_len = 1;
+  for (int64_t i = 0; i < n_reads; ++i) {
+    max_len = std::max<int64_t>(max_len, read1_offs[i + 1] - read1_offs[i]);
+    max_len = std::max<int64_t>(max_len, read2_offs[i + 1] - read2_offs[i]);
+  }
   run_threads(E, n_reads, n_threads, [&](Worker &w, int64_t lo, int64_t hi) {
     w.aln.reset(max_len);
     for (int64_t ri = lo; ri < hi; ++ri) {
