@@ -867,6 +867,10 @@ def build_stage12(lmax: int, max_candidates: int, n_index2: int,
 
         # --- batched banded scoring of every valid hit (Pallas) ---
         bwK = 2 * jnp.minimum(dK, max_diffs_r[:, None]) + 1
+        # a true band beyond the kernel's BW_MAX (large -m on long reads)
+        # cannot be scored exactly on device: fall back, don't clamp
+        # (bwK < 0 is the empty-slot sentinel dK = 0x7FFFFFFF overflowing)
+        bw_over = jnp.any(vh & (bwK >= 0) & (bwK > BW_MAX), axis=1)
         bwK = jnp.where(bwK < 0, BW_MAX, jnp.minimum(BW_MAX, bwK))
         rc = (sK & F_RC) != 0
         ar = (sK & F_A_RICH) != 0
@@ -957,7 +961,8 @@ def build_stage12(lmax: int, max_candidates: int, n_index2: int,
 
         # --- per-read records ---
         unit_fb = jnp.any(overflow.reshape(R, per), axis=1)
-        fb = (unit_fb | heap_fb | job_fb | ((rlen > 0) & (rlen < 49)))
+        fb = (unit_fb | heap_fb | job_fb | bw_over
+              | ((rlen > 0) & (rlen < 49)))
         aligned = (~has_ex) & (M > 0)
         status = jnp.where(fb, REC_FALLBACK,
                            jnp.where(has_ex, REC_EXACT,

@@ -219,6 +219,27 @@ def test_stage2_se_modes_parity(tmp_path, trex1_index, a_rich, random_pbat):
     assert s2_mst == na_mst
 
 
+def test_stage2_wide_band_fallback(tmp_path, trex1_index):
+    """-m 0.45 makes the true band width (2*int(0.45*len)+1 = 91) exceed
+    the Pallas kernel's BW_MAX: those reads must FALL BACK, not clamp --
+    output byte-identical to the native engine."""
+    from abismal_tpu.map.engine import run_map
+    from abismal_tpu.map.pipeline import (
+        make_native_engine_factory, make_tpu_native_engine_factory,
+    )
+
+    fq1 = golden_path("small_1.fq")
+    cl = "map -m 0.45 -o out.sam -i tests/tRex1.idx tests/small_1.fq"
+    outs = []
+    for fac in (make_tpu_native_engine_factory(device_stage2=True),
+                make_native_engine_factory(n_threads=2)):
+        sam = tmp_path / f"wb{len(outs)}.sam"
+        run_map(trex1_index, fq1, None, str(sam), None, cl,
+                valid_frac=0.45, engine_factory=fac, threads=2)
+        outs.append(sam.read_text())
+    assert outs[0] == outs[1]
+
+
 def test_stage2_fallback_paths(tmp_path, trex1_index, monkeypatch):
     """A zero job budget forces every aligned read onto the REC_FALLBACK
     native re-map; output must remain byte-identical (the correctness
