@@ -1402,14 +1402,16 @@ class TpuNativeEngine:
         self.lmax = lmax
         self.valid_frac = valid_frac
         self.unit_batch = unit_batch
-        # SE stage-2 on device (fused decide+align+select; build_stage12):
-        # the flagship default on a single chip.  Mesh/TP layouts still run
-        # the event-stream stage-1 path.
+        # stage-2 on device (fused decide+align+select; build_stage12/pe):
+        # the flagship default, single-chip or data-parallel mesh (the
+        # record/slot outputs shard over the data axis and the decision
+        # counts psum).  The TP (sharded-index) layout still runs the
+        # event-stream stage-1 path: its candidate lists span shards.
         if device_stage2 is None:
             device_stage2 = bool(int(os.environ.get(
                 "ABISMAL_TPU_STAGE2", "1")))
-        self.device_stage2 = (bool(device_stage2) and not mesh_devices
-                              and not index_shards)
+        self.device_stage2 = bool(device_stage2) and not index_shards
+        self.device_decisions = np.zeros(4, dtype=np.int64)
         self._stage12_progs = {}
         self.index_shards = 0
         if index_shards:
@@ -1687,6 +1689,10 @@ class TpuNativeEngine:
             prog, _ = build_stage12(self.lmax, self.dev.max_candidates,
                                     self.dev.n_index2, self.dev.n_index3,
                                     per, interpret=interp)
+            if self.mesh is not None:
+                from ..parallel.mesh import shard_stage12
+
+                prog = shard_stage12(prog, self.mesh)
             self._stage12_progs[per] = prog
         return prog
 
@@ -1699,6 +1705,10 @@ class TpuNativeEngine:
             prog, _ = build_stage12pe(self.lmax, self.dev.max_candidates,
                                       self.dev.n_index2, self.dev.n_index3,
                                       interpret=interp)
+            if self.mesh is not None:
+                from ..parallel.mesh import shard_stage12pe
+
+                prog = shard_stage12pe(prog, self.mesh)
             self._stage12_progs["pe"] = prog
         return prog
 
@@ -1789,7 +1799,8 @@ class TpuNativeEngine:
         is_ga_pat = np.array([get_conv_is_ga(int(c)) for c in scode_pat],
                              dtype=bool)
         prog = self._stage12_prog(per)
-        B = self.unit_batch - (self.unit_batch % per)
+        q = per * self.n_shards  # batch quantum (units/read x mesh axis)
+        B = max(q, self.unit_batch - (self.unit_batch % q))
         rpc = B // per  # reads per chunk
         pending = []
         for start in range(0, len(reads), rpc):
@@ -1806,13 +1817,18 @@ class TpuNativeEngine:
             max_diffs_r = (self.valid_frac
                            * lens_r.astype(np.float64)).astype(np.int32)
             is_ga = np.tile(is_ga_pat, rpc)
-            rec = prog(*self.dev.tables(), preads, lens, is_ga,
-                       scode_pat, max_diffs_r)
+            if self.mesh is not None:
+                rec, counts = prog(self._tables, preads, lens, is_ga,
+                                   scode_pat, max_diffs_r)
+            else:
+                rec = prog(*self.dev.tables(), preads, lens, is_ga,
+                           scode_pat, max_diffs_r)
+                counts = None
             try:
                 rec.copy_to_host_async()
             except (AttributeError, RuntimeError):
                 pass
-            pending.append((start, n, rec))
+            pending.append((start, n, rec, counts))
         return (reads, a_rich_mode, random_pbat, per, pending, oversized)
 
     def _finish_se_stage12(self, handle, stats, out):
@@ -1820,8 +1836,15 @@ class TpuNativeEngine:
         t1 = time.perf_counter()
         R = len(reads)
         records = np.zeros((max(R, 1), 4), dtype=np.int32)
-        for start, n, rec in pending:
+        for start, n, rec, counts in pending:
             records[start : start + n] = np.asarray(rec)[:n]
+            if counts is not None:
+                # psum'd per-status decision counts from the mesh; padded
+                # reads land in status 0 (unmapped), subtract them
+                c = np.asarray(counts).astype(np.int64)
+                c[0] -= np.asarray(rec).shape[0] - n
+                with self._counter_lock:
+                    self.device_decisions += c
         idx = np.flatnonzero(oversized)
         if idx.size:
             records[idx] = np.array([REC_FALLBACK, 0, 0, 0], dtype=np.int32)
@@ -1842,7 +1865,8 @@ class TpuNativeEngine:
                                                      random_pbat)
         is_ga_pat = self._pe_is_ga_pattern(a_rich_mode, random_pbat)
         prog = self._stage12pe_prog()
-        B = self.unit_batch - (self.unit_batch % per)
+        q = per * self.n_shards
+        B = max(q, self.unit_batch - (self.unit_batch % q))
         ppc = B // per  # pairs per chunk
         pending = []
         for start in range(0, len(reads1), ppc):
@@ -1857,8 +1881,12 @@ class TpuNativeEngine:
             max_diffs_u = (self.valid_frac
                            * lens.astype(np.float64)).astype(np.int32)
             is_ga = np.tile(is_ga_pat, B // per)
-            posK, ds, cnt = prog(*self.dev.tables(), preads, lens, is_ga,
-                                 max_diffs_u)
+            if self.mesh is not None:
+                posK, ds, cnt, _fb = prog(self._tables, preads, lens,
+                                          is_ga, max_diffs_u)
+            else:
+                posK, ds, cnt = prog(*self.dev.tables(), preads, lens,
+                                     is_ga, max_diffs_u)
             for a in (posK, ds, cnt):
                 try:
                     a.copy_to_host_async()

@@ -52,6 +52,65 @@ def shard_stage1(stage1, mesh):
     return jax.jit(wrapped)
 
 
+def shard_stage12(stage12, mesh):
+    """Wraps the fused SE stage-1+2 program in shard_map: unit/read arrays
+    sharded on the data axis, index tables replicated, ONE record per read
+    out -- plus the psum'd per-status decision counts (unmapped/exact/
+    aligned/fallback), the real-statistics collective (SURVEY 2.5: the
+    reference's atomic counters ride psum here, not a token event count)."""
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import PartitionSpec as P
+    from jax.experimental.shard_map import shard_map
+
+    rep = P()
+    sh = P("data")
+
+    def wrapped(tables, pnib, lens, is_ga, scode, max_diffs_r):
+        def inner(tables, pnib, lens, is_ga, scode, max_diffs_r):
+            rec = stage12(*tables, pnib, lens, is_ga, scode, max_diffs_r)
+            st = rec[:, 0] & 7
+            counts = jnp.stack([jnp.sum(st == s) for s in range(4)])
+            return rec, jax.lax.psum(counts, "data")
+
+        return shard_map(
+            inner, mesh=mesh,
+            in_specs=(rep, sh, sh, sh, rep, sh),
+            out_specs=(P("data", None), rep),
+            check_rep=False,
+        )(tables, pnib, lens, is_ga, scode, max_diffs_r)
+
+    return jax.jit(wrapped)
+
+
+def shard_stage12pe(stage12pe, mesh):
+    """PE variant: per-unit candidate slot tables sharded out, with the
+    psum'd fallback-unit count as the statistics collective."""
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import PartitionSpec as P
+    from jax.experimental.shard_map import shard_map
+
+    rep = P()
+    sh = P("data")
+
+    def wrapped(tables, pnib, lens, is_ga, max_diffs_u):
+        def inner(tables, pnib, lens, is_ga, max_diffs_u):
+            posK, ds, cnt = stage12pe(*tables, pnib, lens, is_ga,
+                                      max_diffs_u)
+            fb = jax.lax.psum(jnp.sum(cnt < 0), "data")
+            return posK, ds, cnt, fb
+
+        return shard_map(
+            inner, mesh=mesh,
+            in_specs=(rep, sh, sh, sh, sh),
+            out_specs=(P("data", None), P("data", None), sh, rep),
+            check_rep=False,
+        )(tables, pnib, lens, is_ga, max_diffs_u)
+
+    return jax.jit(wrapped)
+
+
 def shard_stage1_tp(stage1, mesh):
     """Key-range-sharded index ("TP option", SURVEY 2.5): the position
     lists are sharded across the mesh by bucket-key range, the genome and
