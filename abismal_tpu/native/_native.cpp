@@ -25,6 +25,10 @@
 #include <thread>
 #include <vector>
 
+#if defined(__AVX512BW__)
+#include <immintrin.h>
+#endif
+
 extern "C" {
 
 // ---------------------------------------------------------------------------
@@ -966,6 +970,84 @@ void scan_table(const uint8_t *nib, int64_t lim, int64_t warm,
   }
 }
 
+// --- chunked suffix keys for the per-bucket sort ---------------------------
+// The reference comparators (AbismalIndex.cpp:857-903) walk the two suffixes
+// byte by byte; packing 64 two-letter bits / 16 three-letter nibbles into one
+// u64 per chunk turns each comparison into contiguous u64 compares, and the
+// whole 231/240-symbol suffix into at most 4/15 chunks (almost every bucket
+// resolves within chunk 0).
+
+inline uint64_t bitrev64(uint64_t x) {
+  x = __builtin_bswap64(x);
+  x = ((x & 0xF0F0F0F0F0F0F0F0ULL) >> 4) | ((x & 0x0F0F0F0F0F0F0F0FULL) << 4);
+  x = ((x & 0xCCCCCCCCCCCCCCCCULL) >> 2) | ((x & 0x3333333333333333ULL) << 2);
+  x = ((x & 0xAAAAAAAAAAAAAAAAULL) >> 1) | ((x & 0x5555555555555555ULL) << 1);
+  return x;
+}
+
+// symbols [KEY_WEIGHT + 64c, ...): one bit per symbol, symbol 0 at the MSB;
+// the final partial chunk pads with 0s (equal padding on both operands)
+inline uint64_t suffix_chunk2(const uint8_t *nib, uint32_t p, int c) {
+  const int base = (int)KEY_WEIGHT + (c << 6);
+  const int lim = IDX_N_SORTING - base < 64 ? IDX_N_SORTING - base : 64;
+  const uint8_t *q = nib + p + base;
+#if defined(__AVX512BW__)
+  const uint64_t m = _mm512_testn_epi8_mask(
+      _mm512_loadu_si512((const void *)q), _mm512_set1_epi8(5));
+  uint64_t k = bitrev64(m);
+  if (lim < 64)
+    k &= ~0ULL << (64 - lim);
+  return k;
+#else
+  uint64_t k = 0;
+  for (int j = 0; j < lim; ++j)
+    k = (k << 1) | (uint64_t)nib_bit(q[j]);
+  return k << (64 - lim);
+#endif
+}
+
+// symbols [KEY_WEIGHT_THREE + 16c, +16): one (nib & mask) nibble per symbol,
+// symbol 0 in the top nibble (240 symbols = exactly 15 chunks)
+inline uint64_t suffix_chunk3(const uint8_t *nib, uint32_t p, int c,
+                              uint8_t mask) {
+  const uint8_t *q = nib + p + KEY_WEIGHT_THREE + (c << 4);
+  uint64_t k = 0;
+  for (int j = 0; j < 16; ++j)
+    k = (k << 4) | (uint64_t)(q[j] & mask);
+  return k;
+}
+
+struct SItem {
+  uint64_t key;
+  uint32_t pos;
+};
+
+// sort items by the suffix starting at chunk c; full-suffix ties end in
+// descending position order (== the back-to-front fill order the stable
+// reference sort preserves).  std::sort is safe: the (key, pos-desc)
+// comparator is a total order at every level, and equal-key runs are
+// re-sorted by the next chunk, so only FULL ties keep the pos-desc order.
+template <class ChunkF>
+void suffix_sort_run(SItem *it, int64_t n, int c, int n_chunks,
+                     const ChunkF &chunk) {
+  for (int64_t i = 0; i < n; ++i)
+    it[i].key = chunk(it[i].pos, c);
+  std::sort(it, it + n, [](const SItem &a, const SItem &b) {
+    return a.key != b.key ? a.key < b.key : a.pos > b.pos;
+  });
+  if (c + 1 >= n_chunks)
+    return;
+  int64_t i = 0;
+  while (i < n) {
+    int64_t j = i + 1;
+    while (j < n && it[j].key == it[i].key)
+      ++j;
+    if (j - i > 1)
+      suffix_sort_run(it + i, j - i, c + 1, n_chunks, chunk);
+    i = j;
+  }
+}
+
 }  // namespace
 
 extern "C" {
@@ -1177,31 +1259,24 @@ index_fill_and_sort(const uint8_t *nib, int64_t n, const int64_t *exc_s,
   f2.join();
   f3.join();
 
-  // per-bucket suffix sorts, threaded over bucket ranges
+  // per-bucket suffix sorts with chunked u64 keys (suffix_chunk2/3),
+  // threaded over bucket ranges; equal suffixes keep descending position
+  // (the fill order), matching the reference's stable_sort semantics
   auto sort_table = [&](const uint32_t *counter, int64_t n_buckets,
                         uint32_t *out, int mode) {
     // mode 0: two-letter bit compare; 1: nt & 5; 2: nt & 10
-    auto cmp2 = [&](uint32_t a, uint32_t b) {
-      for (int i = KEY_WEIGHT; i < IDX_N_SORTING; ++i) {
-        const uint8_t ba = nib_bit(nib[a + i]), bb = nib_bit(nib[b + i]);
-        if (ba != bb)
-          return ba < bb;
-      }
-      return false;
+    const uint8_t mask = mode == 1 ? 5 : 10;
+    const int n_chunks =
+        mode == 0 ? (IDX_N_SORTING - (int)KEY_WEIGHT + 63) / 64
+                  : (IDX_N_SORTING - (int)KEY_WEIGHT_THREE) / 16;
+    auto chunk = [&](uint32_t p, int c) {
+      return mode == 0 ? suffix_chunk2(nib, p, c)
+                       : suffix_chunk3(nib, p, c, mask);
     };
-    auto cmp3 = [&](uint8_t mask) {
-      return [&, mask](uint32_t a, uint32_t b) {
-        for (int i = KEY_WEIGHT_THREE; i < IDX_N_SORTING; ++i) {
-          const uint8_t sa = nib[a + i] & mask, sb = nib[b + i] & mask;
-          if (sa != sb)
-            return sa < sb;
-        }
-        return false;
-      };
-    };
-    const int64_t grab = 1 << 16;
+    const int64_t grab = 1 << 14;
     std::atomic<int64_t> next(0);
     auto worker = [&]() {
+      std::vector<SItem> scratch;
       for (;;) {
         const int64_t g = next.fetch_add(1);
         const int64_t b0 = g * grab;
@@ -1210,14 +1285,32 @@ index_fill_and_sort(const uint8_t *nib, int64_t n, const int64_t *exc_s,
         const int64_t b1 = std::min(n_buckets, b0 + grab);
         for (int64_t b = b0; b < b1; ++b) {
           const uint32_t s = counter[b], e = counter[b + 1];
-          if (e - s < 2)
+          const int64_t m = (int64_t)e - s;
+          if (m < 2)
             continue;
-          if (mode == 0)
-            std::stable_sort(out + s, out + e, cmp2);
-          else if (mode == 1)
-            std::stable_sort(out + s, out + e, cmp3(5));
-          else
-            std::stable_sort(out + s, out + e, cmp3(10));
+          if (m == 2) {
+            // dominant case: compare the two suffixes chunk by chunk;
+            // a full tie keeps the existing descending-position order
+            const uint32_t a = out[s], bq = out[s + 1];
+            for (int c = 0; c < n_chunks; ++c) {
+              const uint64_t ka = chunk(a, c), kb = chunk(bq, c);
+              if (ka != kb) {
+                if (ka > kb) {
+                  out[s] = bq;
+                  out[s + 1] = a;
+                }
+                break;
+              }
+            }
+            continue;
+          }
+          if ((int64_t)scratch.size() < m)
+            scratch.resize(m);
+          for (int64_t i = 0; i < m; ++i)
+            scratch[i].pos = out[s + i];
+          suffix_sort_run(scratch.data(), m, 0, n_chunks, chunk);
+          for (int64_t i = 0; i < m; ++i)
+            out[s + i] = scratch[i].pos;
         }
       }
     };
