@@ -359,11 +359,28 @@ def _build_from_genome_native(genome: np.ndarray, cl, n_threads: int = 1,
         n_threads)
 
     _stage(verbose, "hashing and sorting buckets")
-    # masked recount over [0, lim2) for all tables (kept2/kept3 selections)
-    lib.index_count_hashes(
+    # one fused scan captures each kept position's hash keys into compact
+    # arrays (work ~ kept positions) and recounts the masked buckets from
+    # them; placement and the per-bucket suffix sort then run over the
+    # compact arrays instead of re-scanning the genome four more times
+    # (masked recount + three fills)
+    n23 = np.zeros(2, dtype=np.int64)
+    lib.index_count_kept(keep.ctypes.data, itl.ctypes.data, lim2,
+                         n23.ctypes.data, n23[1:].ctypes.data, n_threads)
+    bound2, bound3 = int(n23[0]), int(n23[1])
+    k2c = np.empty(bound2, dtype=np.uint32)
+    p2c = np.empty(bound2, dtype=np.uint32)
+    k3tc = np.empty(bound3, dtype=np.uint32)
+    k3ac = np.empty(bound3, dtype=np.uint32)
+    p3c = np.empty(bound3, dtype=np.uint32)
+    lib.index_capture_kept(
         nibbles.ctypes.data, n, exc_s.ctypes.data, exc_e.ctypes.data,
-        len(exclude), keep.ctypes.data, itl.ctypes.data, cnt2.ctypes.data,
-        cnt3t.ctypes.data, cnt3a.ctypes.data)
+        len(exclude), keep.ctypes.data, itl.ctypes.data, k2c.ctypes.data,
+        p2c.ctypes.data, k3tc.ctypes.data, k3ac.ctypes.data, p3c.ctypes.data,
+        cnt2.ctypes.data, cnt3t.ctypes.data, cnt3a.ctypes.data,
+        n23.ctypes.data, n23[1:].ctypes.data, n_threads)
+    n2, n3 = int(n23[0]), int(n23[1])
+
     counter = np.zeros(N_BUCKETS_TWO + 1, dtype=np.uint32)
     np.cumsum(cnt2[:N_BUCKETS_TWO], dtype=np.uint32, out=counter[1:])
     counter_t = np.zeros(N_BUCKETS_THREE + 1, dtype=np.uint32)
@@ -372,15 +389,16 @@ def _build_from_genome_native(genome: np.ndarray, cl, n_threads: int = 1,
     np.cumsum(cnt3a[:N_BUCKETS_THREE], dtype=np.uint32, out=counter_a[1:])
     del cnt2, cnt3t, cnt3a
 
-    index = np.empty(int(counter[-1]), dtype=np.uint32)
-    index_t = np.empty(int(counter_t[-1]), dtype=np.uint32)
-    index_a = np.empty(int(counter_a[-1]), dtype=np.uint32)
-    lib.index_fill_and_sort(
-        nibbles.ctypes.data, n, exc_s.ctypes.data, exc_e.ctypes.data,
-        len(exclude), keep.ctypes.data, itl.ctypes.data,
+    index = np.empty(n2, dtype=np.uint32)
+    index_t = np.empty(n3, dtype=np.uint32)
+    index_a = np.empty(n3, dtype=np.uint32)
+    lib.index_place_and_sort(
+        nibbles.ctypes.data, k2c.ctypes.data, p2c.ctypes.data, n2,
+        k3tc.ctypes.data, k3ac.ctypes.data, p3c.ctypes.data, n3,
         counter.ctypes.data, counter_t.ctypes.data, counter_a.ctypes.data,
         index.ctypes.data, index_t.ctypes.data, index_a.ctypes.data,
         n_threads)
+    del k2c, p2c, k3tc, k3ac, p3c
 
     _stage(verbose, "")
     return AbismalIndex(

@@ -113,6 +113,36 @@ def get_lib() -> ctypes.CDLL:
             ctypes.c_int,  # n_threads
         ]
 
+        lib.index_count_kept.restype = None
+        lib.index_count_kept.argtypes = [
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64,  # keep/itl/lim
+            ctypes.c_void_p, ctypes.c_void_p,  # out_n2, out_n3
+            ctypes.c_int,  # n_threads
+        ]
+
+        lib.index_capture_kept.restype = None
+        lib.index_capture_kept.argtypes = [
+            ctypes.c_void_p, ctypes.c_int64,  # nibbles, n
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64,  # exclude
+            ctypes.c_void_p, ctypes.c_void_p,  # keep, itl
+            ctypes.c_void_p, ctypes.c_void_p,  # k2, p2 out
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,  # k3t/k3a/p3
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,  # cnt out
+            ctypes.c_void_p, ctypes.c_void_p,  # out_n2, out_n3
+            ctypes.c_int,  # n_threads
+        ]
+
+        lib.index_place_and_sort.restype = None
+        lib.index_place_and_sort.argtypes = [
+            ctypes.c_void_p,  # nibbles
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64,  # k2, p2, n2
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,  # k3t/k3a/p3
+            ctypes.c_int64,  # n3
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,  # counters
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,  # indexes out
+            ctypes.c_int,  # n_threads
+        ]
+
         lib.simreads_native.restype = ctypes.c_int
         lib.simreads_native.argtypes = [
             ctypes.c_void_p, ctypes.c_int64,  # genome, size

@@ -1048,6 +1048,68 @@ void suffix_sort_run(SItem *it, int64_t n, int c, int n_chunks,
   }
 }
 
+// per-bucket suffix sorts with chunked u64 keys (suffix_chunk2/3), threaded
+// over bucket ranges; equal suffixes keep descending position (the fill
+// order), matching the reference's stable_sort semantics.
+// mode 0: two-letter bit compare; 1: nt & 5; 2: nt & 10
+void sort_buckets_chunked(const uint8_t *nib, const uint32_t *counter,
+                          int64_t n_buckets, uint32_t *out, int mode,
+                          int n_threads) {
+  const uint8_t mask = mode == 1 ? 5 : 10;
+  const int n_chunks = mode == 0
+                           ? (IDX_N_SORTING - (int)KEY_WEIGHT + 63) / 64
+                           : (IDX_N_SORTING - (int)KEY_WEIGHT_THREE) / 16;
+  auto chunk = [&](uint32_t p, int c) {
+    return mode == 0 ? suffix_chunk2(nib, p, c) : suffix_chunk3(nib, p, c, mask);
+  };
+  const int64_t grab = 1 << 14;
+  std::atomic<int64_t> next(0);
+  auto worker = [&]() {
+    std::vector<SItem> scratch;
+    for (;;) {
+      const int64_t g = next.fetch_add(1);
+      const int64_t b0 = g * grab;
+      if (b0 >= n_buckets)
+        return;
+      const int64_t b1 = std::min(n_buckets, b0 + grab);
+      for (int64_t b = b0; b < b1; ++b) {
+        const uint32_t s = counter[b], e = counter[b + 1];
+        const int64_t m = (int64_t)e - s;
+        if (m < 2)
+          continue;
+        if (m == 2) {
+          // dominant case: compare the two suffixes chunk by chunk;
+          // a full tie keeps the existing descending-position order
+          const uint32_t a = out[s], bq = out[s + 1];
+          for (int c = 0; c < n_chunks; ++c) {
+            const uint64_t ka = chunk(a, c), kb = chunk(bq, c);
+            if (ka != kb) {
+              if (ka > kb) {
+                out[s] = bq;
+                out[s + 1] = a;
+              }
+              break;
+            }
+          }
+          continue;
+        }
+        if ((int64_t)scratch.size() < m)
+          scratch.resize(m);
+        for (int64_t i = 0; i < m; ++i)
+          scratch[i].pos = out[s + i];
+        suffix_sort_run(scratch.data(), m, 0, n_chunks, chunk);
+        for (int64_t i = 0; i < m; ++i)
+          out[s + i] = scratch[i].pos;
+      }
+    }
+  };
+  std::vector<std::thread> ts;
+  for (int t = 0; t < std::max(1, n_threads); ++t)
+    ts.emplace_back(worker);
+  for (auto &t : ts)
+    t.join();
+}
+
 }  // namespace
 
 extern "C" {
@@ -1259,71 +1321,255 @@ index_fill_and_sort(const uint8_t *nib, int64_t n, const int64_t *exc_s,
   f2.join();
   f3.join();
 
-  // per-bucket suffix sorts with chunked u64 keys (suffix_chunk2/3),
-  // threaded over bucket ranges; equal suffixes keep descending position
-  // (the fill order), matching the reference's stable_sort semantics
-  auto sort_table = [&](const uint32_t *counter, int64_t n_buckets,
-                        uint32_t *out, int mode) {
-    // mode 0: two-letter bit compare; 1: nt & 5; 2: nt & 10
-    const uint8_t mask = mode == 1 ? 5 : 10;
-    const int n_chunks =
-        mode == 0 ? (IDX_N_SORTING - (int)KEY_WEIGHT + 63) / 64
-                  : (IDX_N_SORTING - (int)KEY_WEIGHT_THREE) / 16;
-    auto chunk = [&](uint32_t p, int c) {
-      return mode == 0 ? suffix_chunk2(nib, p, c)
-                       : suffix_chunk3(nib, p, c, mask);
-    };
-    const int64_t grab = 1 << 14;
-    std::atomic<int64_t> next(0);
-    auto worker = [&]() {
-      std::vector<SItem> scratch;
-      for (;;) {
-        const int64_t g = next.fetch_add(1);
-        const int64_t b0 = g * grab;
-        if (b0 >= n_buckets)
-          return;
-        const int64_t b1 = std::min(n_buckets, b0 + grab);
-        for (int64_t b = b0; b < b1; ++b) {
-          const uint32_t s = counter[b], e = counter[b + 1];
-          const int64_t m = (int64_t)e - s;
-          if (m < 2)
-            continue;
-          if (m == 2) {
-            // dominant case: compare the two suffixes chunk by chunk;
-            // a full tie keeps the existing descending-position order
-            const uint32_t a = out[s], bq = out[s + 1];
-            for (int c = 0; c < n_chunks; ++c) {
-              const uint64_t ka = chunk(a, c), kb = chunk(bq, c);
-              if (ka != kb) {
-                if (ka > kb) {
-                  out[s] = bq;
-                  out[s + 1] = a;
-                }
-                break;
-              }
-            }
-            continue;
-          }
-          if ((int64_t)scratch.size() < m)
-            scratch.resize(m);
-          for (int64_t i = 0; i < m; ++i)
-            scratch[i].pos = out[s + i];
-          suffix_sort_run(scratch.data(), m, 0, n_chunks, chunk);
-          for (int64_t i = 0; i < m; ++i)
-            out[s + i] = scratch[i].pos;
+  sort_buckets_chunked(nib, counter2, IDX_N_BUCKETS_TWO, index2, 0, n_threads);
+  sort_buckets_chunked(nib, counter3t, IDX_N_BUCKETS_THREE, index_t, 1,
+                       n_threads);
+  sort_buckets_chunked(nib, counter3a, IDX_N_BUCKETS_THREE, index_a, 2,
+                       n_threads);
+}
+
+// One fused block-parallel scan over [0, lim2): rolls all three hash keys
+// at once and captures each kept position's keys into compact arrays
+// (k2/p2 where itl, k3t+k3a/p3 where !itl), replacing the masked recount
+// scan AND the three fill re-scans of the build's final stage with work
+// proportional to the KEPT positions.  Positions come out ascending
+// (threads own contiguous ranges), which the placement below relies on.
+// Exactness: the rolling hashes are 25-/16-symbol windows (recomputable at
+// any block start by warming that many symbols), and ExcludeWalker::skip
+// is a pure monotone predicate of p, so block boundaries are invisible.
+// Writes the true counts to out_n2/out_n3; the caller allocates from the
+// keep/itl population counts (an upper bound: the walker also skips the
+// lazy-advance positions the reference's counting loops never see).
+// threaded population counts of the kept two-/three-letter positions
+// (allocation bounds for the capture below); numpy's boolean-temp
+// equivalent costs GB-scale allocations on hosts with slow faulting
+void
+index_count_kept(const uint8_t *keep, const uint8_t *itl, int64_t lim2,
+                 int64_t *out_n2, int64_t *out_n3, int n_threads) {
+  const int T = std::max(1, n_threads);
+  std::vector<int64_t> c2(T, 0), c3(T, 0);
+  auto worker = [&](int t) {
+    const int64_t p0 = lim2 * t / T, p1 = lim2 * (t + 1) / T;
+    int64_t a = 0, b = 0;
+    for (int64_t p = p0; p < p1; ++p) {
+      a += keep[p] & itl[p];
+      b += keep[p] & (1 - itl[p]);
+    }
+    c2[t] = a;
+    c3[t] = b;
+  };
+  std::vector<std::thread> ts;
+  for (int t = 0; t < T; ++t)
+    ts.emplace_back(worker, t);
+  for (auto &t : ts)
+    t.join();
+  *out_n2 = 0;
+  *out_n3 = 0;
+  for (int t = 0; t < T; ++t) {
+    *out_n2 += c2[t];
+    *out_n3 += c3[t];
+  }
+}
+
+void
+index_capture_kept(const uint8_t *nib, int64_t n, const int64_t *exc_s,
+                   const int64_t *exc_e, int64_t n_exc, const uint8_t *keep,
+                   const uint8_t *itl, uint32_t *k2, uint32_t *p2,
+                   uint32_t *k3t, uint32_t *k3a, uint32_t *p3,
+                   uint32_t *cnt2, uint32_t *cnt3t, uint32_t *cnt3a,
+                   int64_t *out_n2, int64_t *out_n3, int n_threads) {
+  const int64_t lim2 = n - KEY_WEIGHT + 1;
+  const int T = std::max(1, n_threads);
+  std::vector<std::vector<uint32_t>> vk2(T), vp2(T), vkt(T), vka(T), vp3(T);
+  // keys are recomputed from scratch at each kept position (direct
+  // 25-symbol / 16-symbol window reads) rather than rolled at every
+  // position: the DP keeps only ~5-8% of positions, so O(kept * window)
+  // beats O(genome * 3 rolls), and the keep bitmap is skipped 64 bytes at
+  // a time.  A 16-symbol Horner in base 3 stays below 3^16, so the
+  // rolling form's modulo never fires -- values are identical.
+  auto key2_at = [&](int64_t p) {
+#if defined(__AVX512BW__) && defined(__AVX512VL__)
+    const uint32_t m = _mm256_testn_epi8_mask(
+        _mm256_loadu_si256((const __m256i *)(nib + p)),
+        _mm256_set1_epi8(5));
+    return (uint32_t)(bitrev64(m) >> 39);  // symbol 0 -> bit 24
+#else
+    uint32_t h = 0;
+    for (uint32_t j = 0; j < KEY_WEIGHT; ++j)
+      h = (h << 1) | nib_bit(nib[p + j]);
+    return h;
+#endif
+  };
+  auto worker = [&](int t) {
+    const int64_t p0 = lim2 * t / T, p1 = lim2 * (t + 1) / T;
+    if (p0 >= p1)
+      return;
+    const int64_t cap = (p1 - p0) / 8 + 64;  // DP keeps >=1 per window of 20
+    vk2[t].reserve(cap);
+    vp2[t].reserve(cap);
+    vkt[t].reserve(cap);
+    vka[t].reserve(cap);
+    vp3[t].reserve(cap);
+    ExcludeWalker ex{exc_s, exc_e, n_exc};
+    auto emit = [&](int64_t p) {
+      if (ex.skip(p))
+        return;
+      if (itl[p]) {
+        vk2[t].push_back(key2_at(p));
+        vp2[t].push_back((uint32_t)p);
+      }
+      else {
+        uint32_t ht = 0, ha = 0;
+        for (uint32_t j = 0; j < KEY_WEIGHT_THREE; ++j) {
+          ht = ht * 3 + nib_three_ct(nib[p + j]);
+          ha = ha * 3 + nib_three_ga(nib[p + j]);
         }
+        vkt[t].push_back(ht);
+        vka[t].push_back(ha);
+        vp3[t].push_back((uint32_t)p);
+      }
+    };
+    int64_t p = p0;
+#if defined(__AVX512BW__)
+    for (; p + 64 <= p1; p += 64) {
+      uint64_t km = _mm512_test_epi8_mask(
+          _mm512_loadu_si512((const void *)(keep + p)),
+          _mm512_set1_epi8(0xFF));
+      while (km) {
+        const int j = __builtin_ctzll(km);
+        km &= km - 1;
+        emit(p + j);
+      }
+    }
+#endif
+    for (; p < p1; ++p)
+      if (keep[p])
+        emit(p);
+  };
+  std::vector<std::thread> ts;
+  for (int t = 0; t < T; ++t)
+    ts.emplace_back(worker, t);
+  for (auto &t : ts)
+    t.join();
+  int64_t n2 = 0, n3 = 0;
+  for (int t = 0; t < T; ++t) {
+    std::memcpy(k2 + n2, vk2[t].data(), vk2[t].size() * 4);
+    std::memcpy(p2 + n2, vp2[t].data(), vp2[t].size() * 4);
+    n2 += (int64_t)vk2[t].size();
+    std::memcpy(k3t + n3, vkt[t].data(), vkt[t].size() * 4);
+    std::memcpy(k3a + n3, vka[t].data(), vka[t].size() * 4);
+    std::memcpy(p3 + n3, vp3[t].data(), vp3[t].size() * 4);
+    n3 += (int64_t)vp3[t].size();
+  }
+  *out_n2 = n2;
+  *out_n3 = n3;
+  // masked bucket counts from the compact keys (one table per thread,
+  // prefetch-ring deferred increments), replacing numpy bincount's
+  // int64 casts and temporaries
+  auto count = [](const uint32_t *keys, int64_t m, uint32_t *cnt,
+                  int64_t n_buckets) {
+    std::memset(cnt, 0, sizeof(uint32_t) * (n_buckets + 1));
+    uint32_t ring[32];
+    int head = 0, filled = 0;
+    for (int64_t i = 0; i < m; ++i) {
+      const uint32_t k = keys[i];
+      __builtin_prefetch(cnt + k, 1);
+      if (filled == 32)
+        ++cnt[ring[head]];
+      else
+        ++filled;
+      ring[head] = k;
+      head = (head + 1) & 31;
+    }
+    for (int i = 0; i < filled; ++i)
+      ++cnt[ring[(head + 32 - filled + i) & 31]];
+  };
+  std::thread c1([&]() { count(k2, n2, cnt2, IDX_N_BUCKETS_TWO); });
+  std::thread c2t([&]() { count(k3t, n3, cnt3t, IDX_N_BUCKETS_THREE); });
+  std::thread c3a([&]() { count(k3a, n3, cnt3a, IDX_N_BUCKETS_THREE); });
+  c1.join();
+  c2t.join();
+  c3a.join();
+}
+
+// Counting-sort placement from the captured compact arrays (ascending
+// position; forward walk into decrementing cursors = descending position
+// within each bucket, the reference's fill order), then the chunked
+// per-bucket suffix sorts.  counterX are the final prefix arrays.
+void
+index_place_and_sort(const uint8_t *nib, const uint32_t *k2,
+                     const uint32_t *p2, int64_t n2, const uint32_t *k3t,
+                     const uint32_t *k3a, const uint32_t *p3, int64_t n3,
+                     const uint32_t *counter2, const uint32_t *counter3t,
+                     const uint32_t *counter3a, uint32_t *index2,
+                     uint32_t *index_t, uint32_t *index_a, int n_threads) {
+  // Each table is placed key-range-parallel: every thread walks the whole
+  // compact array but only places keys it owns (bucket ranges balanced by
+  // position counts via the prefix array), so the random RMW/store work --
+  // the expensive part -- splits T ways while the cheap sequential key
+  // reads are duplicated.  Within a bucket the walk order is unchanged,
+  // so the descending-position fill order is preserved.
+  auto place = [n_threads](const uint32_t *keys, const uint32_t *pos,
+                           int64_t m, const uint32_t *counter,
+                           int64_t n_buckets, uint32_t *out) {
+    const int T = std::max(1, n_threads);
+    std::vector<uint32_t> kb(T + 1);
+    kb[0] = 0;
+    kb[T] = (uint32_t)n_buckets;
+    for (int t = 1; t < T; ++t) {
+      const uint32_t target = (uint32_t)((int64_t)m * t / T);
+      kb[t] = (uint32_t)(std::upper_bound(counter, counter + n_buckets + 1,
+                                          target) -
+                         counter) -
+              1;
+    }
+    auto worker = [&](int t) {
+      const uint32_t klo = kb[t], khi = kb[t + 1];
+      if (klo >= khi)
+        return;
+      std::vector<uint32_t> ctr(counter + klo + 1, counter + khi + 1);
+      uint32_t *const c0 = ctr.data() - (int64_t)klo - 1;
+      // FIFO-deferred store ring: prefetch the bucket cursor line 32 keys
+      // ahead of the read-modify-write (FIFO keeps the order bit-exact)
+      struct E {
+        uint32_t k, p;
+      };
+      E ring[32];
+      int head = 0, filled = 0;
+      for (int64_t i = 0; i < m; ++i) {
+        const uint32_t k = keys[i];
+        if (k < klo || k >= khi)
+          continue;
+        __builtin_prefetch(c0 + k + 1, 1);
+        if (filled == 32) {
+          const E &e = ring[head];
+          out[--c0[e.k + 1]] = e.p;
+        }
+        else
+          ++filled;
+        ring[head] = E{k, pos[i]};
+        head = (head + 1) & 31;
+      }
+      for (int i = 0; i < filled; ++i) {
+        const E &e = ring[(head + 32 - filled + i) & 31];
+        out[--c0[e.k + 1]] = e.p;
       }
     };
     std::vector<std::thread> ts;
-    for (int t = 0; t < std::max(1, n_threads); ++t)
-      ts.emplace_back(worker);
+    for (int t = 0; t < T; ++t)
+      ts.emplace_back(worker, t);
     for (auto &t : ts)
       t.join();
   };
+  place(k2, p2, n2, counter2, IDX_N_BUCKETS_TWO, index2);
+  place(k3t, p3, n3, counter3t, IDX_N_BUCKETS_THREE, index_t);
+  place(k3a, p3, n3, counter3a, IDX_N_BUCKETS_THREE, index_a);
 
-  sort_table(counter2, IDX_N_BUCKETS_TWO, index2, 0);
-  sort_table(counter3t, IDX_N_BUCKETS_THREE, index_t, 1);
-  sort_table(counter3a, IDX_N_BUCKETS_THREE, index_a, 2);
+  sort_buckets_chunked(nib, counter2, IDX_N_BUCKETS_TWO, index2, 0, n_threads);
+  sort_buckets_chunked(nib, counter3t, IDX_N_BUCKETS_THREE, index_t, 1,
+                       n_threads);
+  sort_buckets_chunked(nib, counter3a, IDX_N_BUCKETS_THREE, index_a, 2,
+                       n_threads);
 }
 
 }  // extern "C"
