@@ -7,7 +7,9 @@ back-to-back (device executions serialize on one chip), force completion
 with a single host fetch, subtract the tunnel-latency floor measured with
 a trivial program.  The per-cut deltas localize the cost.
 
-Usage: python tools/profile_stage12.py [unit_batch] [reps]
+Usage: python tools/profile_stage12.py [unit_batch] [reps] [cuts...]
+       ABISMAL_PROFILE_INDEX=/path/to.idx ABISMAL_PROFILE_GENOME=/path.fa \
+           python tools/profile_stage12.py ...   # GB-scale variant
 """
 
 import os
@@ -35,19 +37,26 @@ def main():
     print(f"backend={jax.default_backend()} devices={jax.devices()}",
           flush=True)
 
-    index = g._tiny_index()
+    idx_path = os.environ.get("ABISMAL_PROFILE_INDEX")
+    if idx_path:
+        from abismal_tpu.index.serialize import read_index
+
+        index = read_index(idx_path)
+        genome = os.environ["ABISMAL_PROFILE_GENOME"]
+    else:
+        index = g._tiny_index()
+        genome = os.path.join(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))), "tests", "data", "tRex1.fa")
     eng = TpuNativeEngine(index, lmax=128, unit_batch=unit_batch,
                           n_threads=1)
 
-    # realistic reads: simulate from tRex1
+    # realistic reads simulated from the profiled genome
     import tempfile
 
     from abismal_tpu.io.fastq import ReadLoader
     from abismal_tpu.sim.simreads import SimConfig, simulate_reads
 
     d = tempfile.mkdtemp(prefix="abismal_prof_")
-    genome = os.path.join(os.path.dirname(os.path.dirname(
-        os.path.abspath(__file__))), "tests", "data", "tRex1.fa")
     simulate_reads(genome, SimConfig(
         output_prefix=os.path.join(d, "r"), n_reads=unit_batch // 2,
         mutation_rate=0.01, bs_conv=0.98, seed=1, single_end=True))
