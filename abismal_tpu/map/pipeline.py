@@ -29,6 +29,7 @@ from ..constants import (
     KEY_WEIGHT,
     KEY_WEIGHT_THREE,
     MIN_FOLD_SIZE,
+    N_SORTING_POSITIONS,
     WINDOW_SIZE,
 )
 
@@ -149,10 +150,23 @@ class DeviceIndex:
         self.n_index2 = int(index.index.shape[0])
         self.n_index3 = int(index.index_t.shape[0])
         self.max_candidates = int(index.max_candidates)
+        self.ext_iters = ext_iters_for(index)
 
     def tables(self):
         return (self.genome32, self.genome2o, self.counter2, self.counter3,
                 self.index_all)
+
+
+def ext_iters_for(index) -> int:
+    """Static bisection depth for the pooled seed extension: enough
+    iterations to converge a binary search over the LARGEST bucket of any
+    of the three tables (derived on host from the counter prefix arrays;
+    the extension only ever searches within one bucket)."""
+    mb = 1
+    for c in (index.counter, index.counter_t, index.counter_a):
+        if c.shape[0] > 1:
+            mb = max(mb, int(np.diff(c.astype(np.int64)).max()))
+    return max(2, int(np.ceil(np.log2(mb + 1))) + 1)
 
 
 def _tp_key_bounds(counter: np.ndarray, n_shards: int) -> np.ndarray:
@@ -178,6 +192,7 @@ class DeviceIndexTP:
 
     def __init__(self, index, n_shards: int):
         self.n_shards = n_shards
+        self.ext_iters = ext_iters_for(index)
         self.genome32 = pack_genome_u32(index.genome_words)
         self.counter2_np = counter_pairs(index.counter)
         self.counter3_np = np.concatenate(
@@ -226,7 +241,8 @@ CORE_CUTS = ("hash", "ranges", "extend", "list", "unitstats")
 
 def _make_core(lmax: int, max_candidates: int, n_index2: int,
                n_index3: int, cand_per_unit: int, tp: bool,
-               cut: str | None = None):
+               cut: str | None = None, ext_iters: int = 31,
+               ext_pool: int = 2048):
     """Builds the candidate-generation core shared by stage-1 (event-stream
     output for the host replay) and the fused stage-1+2 program (device
     decide/align; build_stage12).
@@ -248,6 +264,8 @@ def _make_core(lmax: int, max_candidates: int, n_index2: int,
     b_of, cell_of, slot, valid), per-unit spans (unit_start, unit_total)
     and overflow flags (cell cap or unit candidate budget exceeded)."""
     jax, jnp = _jm()
+    EXT_POOL = int(os.environ.get("ABISMAL_TPU_EXT_POOL", ext_pool))
+    ext_iters = int(os.environ.get("ABISMAL_TPU_EXT_ITERS", ext_iters))
     o_spec = o_spec_for(lmax)
     o_sens = lmax - KEY_WEIGHT + 1
     n_cells = (o_spec + o_sens) * 2
@@ -370,137 +388,263 @@ def _make_core(lmax: int, max_candidates: int, n_index2: int,
             return dict(cut=jnp.stack([jnp.sum(s2), jnp.sum(e2),
                                        jnp.sum(s3), jnp.sum(e3)]))
 
-        # --- vectorized seed extension over (B * o_spec) lanes ---
+        # --- compacted-lane seed extension (LCP-window method) ---
+        # The reference extends a seed one reduced-alphabet symbol at a
+        # time, re-binary-searching the suffix-sorted bucket per symbol
+        # until it holds <= max_candidates positions
+        # (abismal.cpp:1152-1259).  A lockstep emulation of that loop over
+        # all (B x o_spec x table) lanes is catastrophically gather-bound
+        # at scale (round-3: 99% of device time, 2.2 ms/unit at 128 Mb),
+        # because extension is only ACTIVE for a tiny fraction of cells
+        # (bucket > max_candidates; ~0.05% measured).  TPU-first
+        # restructuring:
+        #   1. compact the active lanes of BOTH tables into EXT_POOL
+        #      slots (pool overflow flags the unit for exact host
+        #      fallback);
+        #   2. one fused lower/upper-bound binary search per lane finds
+        #      the bucket's full-depth match range [L, U) of the read's
+        #      reduced-alphabet CLASS string -- sound because the bucket
+        #      is lex-sorted by keys that refine class order to depth
+        #      N_SORTING_POSITIONS (BucketLess/BucketLessThree,
+        #      AbismalIndex.cpp:857-903);
+        #   3. the per-symbol stopping state is recovered from the LCPs
+        #      of the <= EXT_W window positions on each side of [L, U):
+        #      the narrowing range at depth kw+t is exactly the
+        #      contiguous run {q : lcp(q, read) >= t} around [L, U), so
+        #      the stop depth t* (first t with count <= max_candidates)
+        #      falls out of the 101st-largest window LCP, the reference's
+        #      roll-back-to-previous-depth case is count(t*) == 0, and a
+        #      final range wider than the window necessarily exceeds
+        #      CELLCAP and triggers the unit-overflow fallback anyway, so
+        #      window clipping never changes output.
+        # Reads longer than N_SORTING_POSITIONS could search beyond the
+        # sort depth (where step-wise narrowing and direct search can
+        # disagree); such active lanes flag the unit for host fallback.
         stride = preads.shape[1]
-        flat_bits = bits.reshape(-1)
-        flat_sym = jnp.where(
-            is_ga[:, None], (ip & 10), (ip & 5)).astype(jnp.uint32).reshape(-1)
-        lane_b = jnp.repeat(jnp.arange(B, dtype=jnp.int32), o_spec)
-        lane_off = jnp.tile(jnp.arange(o_spec, dtype=jnp.int32), B)
-        lane_base = lane_b * stride
-        lane_read_lim = lens[lane_b] - lane_off
-        p_cap = stride - 1
+        EXT_W = SLOT + 1  # window half-width: CELLCAP + 1
+        DQMAX = lmax - KEY_WEIGHT_THREE  # deepest possible compare
+        QW = (DQMAX + 7) // 8  # u32 class words, 8 nibbles each
+        BIGI = np.int32(0x3FFFFFFF)
+        n_lanes = B * o_spec
+        act_ext2 = act2_sp & ((e2 - s2) > max_candidates)
+        act_ext3 = act3_sp & ((e3 - s3) > max_candidates)
+        flat_act = jnp.concatenate(
+            [act_ext2.reshape(-1), act_ext3.reshape(-1)])
+        (lane_id,) = jnp.nonzero(flat_act, size=EXT_POOL,
+                                 fill_value=2 * n_lanes)
+        # lanes beyond the pool: flag their units for host fallback
+        cum_act = jnp.cumsum(flat_act.astype(jnp.int32))
+        over_lane = flat_act & (cum_act > EXT_POOL)
+        unit_of_flat = (jnp.arange(2 * n_lanes, dtype=jnp.int32)
+                        % n_lanes) // o_spec
+        ext_fb = jnp.zeros(B, bool).at[
+            jnp.where(over_lane, unit_of_flat, 0)].max(over_lane)
 
-        def extend_three(lo, hi):
-            lane_is_ga = is_ga[lane_b]
-            sym_mask = jnp.where(lane_is_ga, np.uint32(10), np.uint32(5))
-            v1 = jnp.where(lane_is_ga, 2, 1).astype(jnp.uint32)
-            v2 = jnp.where(lane_is_ga, 8, 4).astype(jnp.uint32)
-            lane_idx_base = base3[lane_b]
+        pvv = lane_id < 2 * n_lanes
+        lid = jnp.minimum(lane_id, 2 * n_lanes - 1)
+        tbl3 = lid >= n_lanes
+        rem = lid % n_lanes
+        pb = rem // o_spec
+        poff = rem % o_spec
+        kw_l = jnp.where(tbl3, KEY_WEIGHT_THREE, KEY_WEIGHT)
+        p_ga = is_ga[pb] & tbl3  # alphabet: 2-letter lanes ignore is_ga
+        idx_b = jnp.where(tbl3, base3[pb], 0)
+        lo0 = jnp.where(tbl3, s3.reshape(-1)[rem], s2.reshape(-1)[rem])
+        hi0 = jnp.where(tbl3, e3.reshape(-1)[rem], e2.reshape(-1)[rem])
+        rl = lens[pb] - poff  # read_lim (abismal.cpp:1163-1259)
+        Dl = jnp.clip(rl - kw_l, 0, DQMAX)
+        ext_fb = ext_fb | jnp.zeros(B, bool).at[
+            jnp.where(pvv, pb, 0)].max(pvv & (rl > N_SORTING_POSITIONS))
 
-            def cond(state):
-                p, lo, hi, plo, phi = state
-                return jnp.any((p != lane_read_lim)
-                               & (lane_off + p < p_cap)
-                               & ((hi - lo) > max_candidates))
+        # query class words, aligned to read offset poff + kw
+        qoff = poff + kw_l
+        qa = ip[pb]  # (P, stride) row gather
+        s_roll = 1
+        while s_roll * 2 <= o_spec + KEY_WEIGHT:
+            s_roll *= 2
+        while s_roll >= 1:
+            rolled = jnp.concatenate(
+                [qa[:, s_roll:],
+                 jnp.zeros((EXT_POOL, s_roll), qa.dtype)], axis=1)
+            qa = jnp.where((qoff & s_roll)[:, None] != 0, rolled, qa)
+            s_roll //= 2
 
-            def body(state):
-                p, lo, hi, plo, phi = state
-                act = ((p != lane_read_lim) & (lane_off + p < p_cap)
-                       & ((hi - lo) > max_candidates))
-                plo = jnp.where(act, lo, plo)
-                phi = jnp.where(act, hi, phi)
-                pp = p.astype(jnp.uint32)
+        def nib_cls(nib, t3, ga):
+            b0 = nib & 1
+            b1 = (nib >> 1) & 1
+            b2 = (nib >> 2) & 1
+            b3 = (nib >> 3) & 1
+            hi3 = jnp.where(ga, b3, b2)
+            lo3 = jnp.where(ga, b1, b0) | hi3
+            c3v = 2 * hi3 + (lo3 & (1 - hi3))
+            c2v = 1 - (b0 | b2)
+            return jnp.where(t3, c3v, c2v)
 
-                def lb(val, mask):
-                    def ibody(_, ab):
-                        a, b = ab
-                        mid = (a + b) >> 1
-                        g = nib_at(
-                            genome32,
-                            index_all[lane_idx_base + mid].astype(jnp.uint32)
-                            + pp)
-                        less = (g & mask) < val
-                        cont = a < b
-                        a = jnp.where(cont & less, mid + 1, a)
-                        b = jnp.where(cont & ~less, mid, b)
-                        return a, b
+        qcn = nib_cls(qa[:, : 8 * QW], tbl3[:, None],
+                      p_ga[:, None]).astype(jnp.uint32)
+        qcn = qcn.reshape(EXT_POOL, QW, 8)
+        qcls = qcn[:, :, 0]
+        for k in range(1, 8):
+            qcls = qcls | (qcn[:, :, k] << np.uint32(4 * k))
 
-                    a, _ = jax.lax.fori_loop(0, 31, ibody, (lo, hi))
-                    return a
+        wj8 = 8 * jnp.arange(QW, dtype=jnp.int32)
 
-                first1 = lb(v1, sym_mask)
-                first2 = lb(v2, sym_mask)
-                num = flat_sym[lane_base + lane_off + p]
-                nhi = jnp.where(num == 0, first1,
-                                jnp.where(num == v1, first2, hi))
-                nlo = jnp.where(num == 0, lo,
-                                jnp.where(num == v1, first1, first2))
-                lo = jnp.where(act, nlo, lo)
-                hi = jnp.where(act, nhi, hi)
-                p = jnp.where(act, p + 1, p)
-                return p, lo, hi, plo, phi
+        def gwin_cls(g0, t3, ga):
+            """Genome class words for flat nibble positions g0 (u32):
+            one overlapped-row gather + word/nibble alignment + packed
+            per-nibble class transform."""
+            w0 = g0 >> np.uint32(3)
+            row = (w0 >> np.uint32(5)).astype(jnp.int32)
+            A = genome2o[row]
+            if QW + 1 + 31 > 64:  # lmax > 256: splice the next row
+                A = jnp.concatenate([A, genome2o[row + 2][:, :32]], axis=1)
+            ow = (w0 & np.uint32(31)).astype(jnp.int32)
+            for s_ in (16, 8, 4, 2, 1):
+                rolled = jnp.concatenate(
+                    [A[:, s_:], jnp.zeros((A.shape[0], s_), jnp.uint32)],
+                    axis=1)
+                A = jnp.where((ow & s_)[:, None] != 0, rolled, A)
+            sh = (g0 & np.uint32(7)) * np.uint32(4)
+            wal = (A[:, :QW] >> sh[:, None]) | (
+                (A[:, 1 : QW + 1] << (np.uint32(31) - sh)[:, None])
+                << np.uint32(1))
+            m1 = np.uint32(0x11111111)
+            b0 = wal & m1
+            b1 = (wal >> np.uint32(1)) & m1
+            b2 = (wal >> np.uint32(2)) & m1
+            b3 = (wal >> np.uint32(3)) & m1
+            hi3 = jnp.where(ga[:, None], b3, b2)
+            lo3 = jnp.where(ga[:, None], b1, b0) | hi3
+            cls3 = (hi3 << np.uint32(1)) | (lo3 & ~hi3)
+            cls2 = (b0 | b2) ^ m1
+            return jnp.where(t3[:, None], cls3, cls2)
 
-            p_init = jnp.full_like(lo, KEY_WEIGHT_THREE)
-            p, lo, hi, plo, phi = jax.lax.while_loop(
-                cond, body, (p_init, lo, hi, lo, hi))
-            empty = lo == hi
-            return (jnp.where(empty, p - 1, p), jnp.where(empty, plo, lo),
-                    jnp.where(empty, phi, hi))
-
-        # two-letter lower_bound compares get_bit(nib) < 1, i.e. nib & 5 != 0
-        def extend_two(lo, hi):
-            def cond(state):
-                p, lo, hi, plo, phi = state
-                return jnp.any((p != lane_read_lim)
-                               & (lane_off + p < p_cap)
-                               & ((hi - lo) > max_candidates))
-
-            def body(state):
-                p, lo, hi, plo, phi = state
-                act = ((p != lane_read_lim) & (lane_off + p < p_cap)
-                       & ((hi - lo) > max_candidates))
-                plo = jnp.where(act, lo, plo)
-                phi = jnp.where(act, hi, phi)
-                pp = p.astype(jnp.uint32)
-
-                def ibody(_, ab):
-                    a, b = ab
-                    mid = (a + b) >> 1
-                    nib = nib_at(genome32,
-                                 index_all[mid].astype(jnp.uint32) + pp)
-                    gbit = ((nib & 5) == 0).astype(jnp.uint32)
-                    cont = a < b
-                    a = jnp.where(cont & (gbit < 1), mid + 1, a)
-                    b = jnp.where(cont & (gbit >= 1), mid, b)
-                    return a, b
-
-                first1, _ = jax.lax.fori_loop(0, 31, ibody, (lo, hi))
-                rbit = flat_bits[lane_base + lane_off + p]
-                nlo = jnp.where(rbit == 1, first1, lo)
-                nhi = jnp.where(rbit == 1, hi, first1)
-                lo = jnp.where(act, nlo, lo)
-                hi = jnp.where(act, nhi, hi)
-                p = jnp.where(act, p + 1, p)
-                return p, lo, hi, plo, phi
-
-            p_init = jnp.full_like(lo, KEY_WEIGHT)
-            p, lo, hi, plo, phi = jax.lax.while_loop(
-                cond, body, (p_init, lo, hi, lo, hi))
-            empty = lo == hi
-            return (jnp.where(empty, p - 1, p), jnp.where(empty, plo, lo),
-                    jnp.where(empty, phi, hi))
+        def lex(gcls, qclsN, DlN):
+            """(lcp, cmp) of genome vs query class strings, depth DlN."""
+            nrem = jnp.clip(DlN[:, None] - wj8[None, :], 0, 8)
+            shv = (4 * jnp.where(nrem >= 8, 0, nrem)).astype(jnp.uint32)
+            dmask = jnp.where(nrem >= 8, np.uint32(0xFFFFFFFF),
+                              (np.uint32(1) << shv) - np.uint32(1))
+            diff = (gcls ^ qclsN) & dmask
+            nz = diff != np.uint32(0)
+            ctz = jax.lax.population_count((~diff)
+                                           & (diff - np.uint32(1)))
+            candn = jnp.where(
+                nz, wj8[None, :] + (ctz >> np.uint32(2)).astype(jnp.int32),
+                BIGI)
+            mis = jnp.min(candn, axis=1)
+            lcp = jnp.minimum(mis, DlN)
+            wjx = jnp.clip(mis >> 3, 0, QW - 1)[:, None]
+            shx = ((mis & 7) * 4).astype(jnp.uint32)
+            gv = (jnp.take_along_axis(gcls, wjx, axis=1)[:, 0] >> shx
+                  ) & np.uint32(0xF)
+            qv = (jnp.take_along_axis(qclsN, wjx, axis=1)[:, 0] >> shx
+                  ) & np.uint32(0xF)
+            cmp = jnp.where(mis < DlN,
+                            jnp.where(gv < qv, -1, 1), 0)
+            return lcp, cmp
 
         if os.environ.get("ABISMAL_TPU_NOEXT"):
-            # profiling-only variant: skip the binary-search extension
+            # profiling-only variant: skip the extension entirely
             # (changes semantics; never used by the product path)
             l2 = jnp.full((B, o_spec), KEY_WEIGHT, jnp.int32)
             s2x, e2x = s2, e2
             l3 = jnp.full((B, o_spec), KEY_WEIGHT_THREE, jnp.int32)
             s3x, e3x = s3, e3
+            ext_fb = jnp.zeros(B, bool)
         else:
-            l2, s2x, e2x = extend_two(s2.reshape(-1), e2.reshape(-1))
-            l2 = l2.reshape(B, o_spec)
-            s2x = s2x.reshape(B, o_spec)
-            e2x = e2x.reshape(B, o_spec)
-            l3, s3x, e3x = extend_three(s3.reshape(-1), e3.reshape(-1))
-            l3 = l3.reshape(B, o_spec)
-            s3x = s3x.reshape(B, o_spec)
-            e3x = e3x.reshape(B, o_spec)
+            # fused lower/upper-bound search over the class-sorted bucket
+            aL, bL = lo0, hi0
+            aU, bU = lo0, hi0
+            tbl2x = jnp.concatenate([tbl3, tbl3])
+            ga2x = jnp.concatenate([p_ga, p_ga])
+            D2x = jnp.concatenate([Dl, Dl])
+            ib2x = jnp.concatenate([idx_b, idx_b])
+            kw2x = jnp.concatenate([kw_l, kw_l]).astype(jnp.uint32)
+            qcls2x = jnp.concatenate([qcls, qcls], axis=0)
+            for _ in range(ext_iters):
+                midL = (aL + bL) >> 1
+                midU = (aU + bU) >> 1
+                mids = jnp.concatenate([midL, midU])
+                gpos = (index_all[ib2x + mids].astype(jnp.uint32) + kw2x)
+                _, cmp = lex(gwin_cls(gpos, tbl2x, ga2x), qcls2x, D2x)
+                cmpL, cmpU = cmp[:EXT_POOL], cmp[EXT_POOL:]
+                cL, cU = aL < bL, aU < bU
+                gL, gU = cmpL < 0, cmpU <= 0
+                aL = jnp.where(cL & gL, midL + 1, aL)
+                bL = jnp.where(cL & ~gL, midL, bL)
+                aU = jnp.where(cU & gU, midU + 1, aU)
+                bU = jnp.where(cU & ~gU, midU, bU)
+            Lb, Ub = aL, aU
+
+            # LCP window: EXT_W positions on each side of [L, U)
+            wi = jnp.arange(EXT_W, dtype=jnp.int32)
+            wofs = jnp.concatenate(
+                [Lb[:, None] - 1 - wi[None, :], Ub[:, None] + wi[None, :]],
+                axis=1)  # (P, 2W)
+            wvalid = ((wofs >= lo0[:, None]) & (wofs < hi0[:, None])
+                      & pvv[:, None])
+            wc = jnp.clip(wofs, lo0[:, None],
+                          jnp.maximum(lo0, hi0 - 1)[:, None])
+            n_w = 2 * EXT_W
+            wposf = (index_all[(idx_b[:, None] + wc).reshape(-1)]
+                     .astype(jnp.uint32)
+                     + jnp.repeat(kw_l.astype(jnp.uint32), n_w))
+            gcls_w = gwin_cls(wposf, jnp.repeat(tbl3, n_w),
+                              jnp.repeat(p_ga, n_w))
+            qcls_w = jnp.broadcast_to(
+                qcls[:, None, :], (EXT_POOL, n_w, QW)).reshape(-1, QW)
+            lcp_w, _ = lex(gcls_w, qcls_w, jnp.repeat(Dl, n_w))
+            lcp_w = jnp.where(wvalid.reshape(-1), lcp_w,
+                              -1).reshape(EXT_POOL, n_w)
+
+            # stop depth t*, rollback, and final range from window LCPs
+            c0 = Ub - Lb
+            topv, _ = jax.lax.top_k(lcp_w, max_candidates + 1)
+            kidx = jnp.clip(max_candidates - c0, 0, max_candidates)[:, None]
+            kth = jnp.take_along_axis(topv, kidx, axis=1)[:, 0]
+            tstar = jnp.where(c0 > max_candidates, BIGI,
+                              jnp.maximum(1, kth + 1))
+            tfin = jnp.minimum(tstar, Dl)
+            cnt_fin = c0 + jnp.sum((lcp_w >= tfin[:, None])
+                                   .astype(jnp.int32), axis=1)
+            rollb = (cnt_fin == 0) & (tfin >= 1)
+            t_use = jnp.where(rollb, tfin - 1, tfin)
+            l_out = kw_l + t_use
+            thr_t = jnp.maximum(t_use, 1)[:, None]
+            nl = jnp.sum((lcp_w[:, :EXT_W] >= thr_t).astype(jnp.int32),
+                         axis=1)
+            nr = jnp.sum((lcp_w[:, EXT_W:] >= thr_t).astype(jnp.int32),
+                         axis=1)
+            fullr = t_use == 0
+            lo_f = jnp.where(fullr, lo0, Lb - nl)
+            hi_f = jnp.where(fullr, hi0, Ub + nr)
+
+            # scatter pooled results back into the per-cell arrays
+            d_t2 = jnp.where(pvv & ~tbl3, rem, n_lanes)
+            d_t3 = jnp.where(pvv & tbl3, rem, n_lanes)
+            pad1 = jnp.zeros(1, jnp.int32)
+            l2 = jnp.concatenate(
+                [jnp.full(n_lanes, KEY_WEIGHT, jnp.int32), pad1]
+            ).at[d_t2].set(l_out)[:n_lanes].reshape(B, o_spec)
+            s2x = jnp.concatenate([s2.reshape(-1), pad1]).at[d_t2].set(
+                lo_f)[:n_lanes].reshape(B, o_spec)
+            e2x = jnp.concatenate([e2.reshape(-1), pad1]).at[d_t2].set(
+                hi_f)[:n_lanes].reshape(B, o_spec)
+            l3 = jnp.concatenate(
+                [jnp.full(n_lanes, KEY_WEIGHT_THREE, jnp.int32), pad1]
+            ).at[d_t3].set(l_out)[:n_lanes].reshape(B, o_spec)
+            s3x = jnp.concatenate([s3.reshape(-1), pad1]).at[d_t3].set(
+                lo_f)[:n_lanes].reshape(B, o_spec)
+            e3x = jnp.concatenate([e3.reshape(-1), pad1]).at[d_t3].set(
+                hi_f)[:n_lanes].reshape(B, o_spec)
 
         if cut == "extend":  # profiling cut: + binary-search extension
             return dict(cut=jnp.stack([jnp.sum(l2), jnp.sum(s2x),
                                        jnp.sum(l3), jnp.sum(e3x)]))
+        if cut == "extdbg":  # debug cut: full per-cell extension outputs
+            return dict(l2=l2, s2x=s2x, e2x=e2x, l3=l3, s3x=s3x, e3x=e3x,
+                        ext_fb=ext_fb, s2=s2, e2=e2, s3=s3, e3=e3)
 
         d2 = e2x - s2x
         d3 = e3x - s3x
@@ -554,7 +698,7 @@ def _make_core(lmax: int, max_candidates: int, n_index2: int,
         cnt_sn = interleave(jnp.where(check2_sn, d2n, 0),
                             jnp.where(check3_sn, d3n, 0))
         cnt_cells = jnp.concatenate([cnt_sp, cnt_sn], axis=1)
-        overflow = jnp.any(cnt_cells > CELLCAP, axis=1)
+        overflow = jnp.any(cnt_cells > CELLCAP, axis=1) | ext_fb
         cnt_cells = jnp.minimum(cnt_cells, CELLCAP)
 
         lo_sp = interleave(s2x, base3[:, None] + s3x)
@@ -634,7 +778,8 @@ def _make_core(lmax: int, max_candidates: int, n_index2: int,
 
 def build_stage1(lmax: int, max_candidates: int, n_index2: int,
                  n_index3: int, cand_per_unit: int | None = None,
-                 gcap_per_unit: int | None = None, tp: bool = False):
+                 gcap_per_unit: int | None = None, tp: bool = False,
+                 ext_iters: int = 31):
     """Builds the jitted stage-1 function for a given padded read length:
     the candidate core (_make_core) plus compaction of accepted events
     (diffs <= 0.4*len, the largest cutoff the sequential engine can ever
@@ -651,12 +796,12 @@ def build_stage1(lmax: int, max_candidates: int, n_index2: int,
     gcap_per_unit = int(os.environ.get("ABISMAL_TPU_GCAP_PER_UNIT",
                                        gcap_per_unit))
     memo_key = (lmax, max_candidates, n_index2, n_index3, cand_per_unit,
-                gcap_per_unit, tp)
+                gcap_per_unit, tp, ext_iters)
     if memo_key in _stage1_memo:
         return _stage1_memo[memo_key]
     jax, jnp = _jm()
     core, o_spec = _make_core(lmax, max_candidates, n_index2, n_index3,
-                              cand_per_unit, tp)
+                              cand_per_unit, tp, ext_iters=ext_iters)
     GCAP_PER_UNIT = gcap_per_unit
     CAND_PER_UNIT = cand_per_unit
 
@@ -726,7 +871,8 @@ REC_UNMAPPED, REC_EXACT, REC_ALIGNED, REC_FALLBACK = 0, 1, 2, 3
 def build_stage12(lmax: int, max_candidates: int, n_index2: int,
                   n_index3: int, per: int, cand_per_unit: int | None = None,
                   k_slots: int = 50, jobs_per_read: int = 8,
-                  interpret: bool = False, cut: str | None = None):
+                  interpret: bool = False, cut: str | None = None,
+                  ext_iters: int = 31):
     """Fused device stage-1+2 for single-end mapping: ONE jitted program
     runs candidate generation (the shared core), the reference's candidate
     -set decision logic, batched banded-alignment scoring (Pallas), and
@@ -771,13 +917,15 @@ def build_stage12(lmax: int, max_candidates: int, n_index2: int,
     jobs_per_read = int(os.environ.get("ABISMAL_TPU_JOBS_PER_READ",
                                        jobs_per_read))
     memo_key = (lmax, max_candidates, n_index2, n_index3, per,
-                cand_per_unit, k_slots, jobs_per_read, interpret, cut)
+                cand_per_unit, k_slots, jobs_per_read, interpret, cut,
+                ext_iters)
     if memo_key in _stage12_memo:
         return _stage12_memo[memo_key]
     jax, jnp = _jm()
     core, o_spec = _make_core(lmax, max_candidates, n_index2, n_index3,
                               cand_per_unit, tp=False,
-                              cut=cut if cut in CORE_CUTS else None)
+                              cut=cut if cut in CORE_CUTS else None,
+                              ext_iters=ext_iters)
     scorer = build_banded_scorer(lmax, interpret=interpret)
     K = k_slots
     WW3 = lmax + QOFF  # v3 window rows per job
@@ -990,7 +1138,7 @@ _stage12pe_memo = {}
 def build_stage12pe(lmax: int, max_candidates: int, n_index2: int,
                     n_index3: int, cand_per_unit: int | None = None,
                     k_slots: int = 32, jobs_per_unit: int = 8,
-                    interpret: bool = False):
+                    interpret: bool = False, ext_iters: int = 31):
     """Fused device stage-1+2 for paired-end mapping: ONE jitted program
     runs candidate generation (the shared core), the reference's
     pe_candidates acceptance gates, and Pallas banded scoring of every
@@ -1023,12 +1171,12 @@ def build_stage12pe(lmax: int, max_candidates: int, n_index2: int,
     jobs_per_unit = int(os.environ.get("ABISMAL_TPU_JOBS_PER_UNIT",
                                        jobs_per_unit))
     memo_key = (lmax, max_candidates, n_index2, n_index3, cand_per_unit,
-                k_slots, jobs_per_unit, interpret)
+                k_slots, jobs_per_unit, interpret, ext_iters)
     if memo_key in _stage12pe_memo:
         return _stage12pe_memo[memo_key]
     jax, jnp = _jm()
     core, o_spec = _make_core(lmax, max_candidates, n_index2, n_index3,
-                              cand_per_unit, tp=False)
+                              cand_per_unit, tp=False, ext_iters=ext_iters)
     scorer = build_banded_scorer(lmax, interpret=interpret)
     K = k_slots
     WW3 = lmax + QOFF
@@ -1172,7 +1320,7 @@ class TpuMappingEngine(MappingEngine):
         self.dev = DeviceIndex(index, device_put)
         self.stage1, self.o_spec = build_stage1(
             lmax, self.dev.max_candidates, self.dev.n_index2,
-            self.dev.n_index3
+            self.dev.n_index3, ext_iters=self.dev.ext_iters
         )
         self._cache = {}
         self.n_fallback = 0
@@ -1429,7 +1577,8 @@ class TpuNativeEngine:
             tp = DeviceIndexTP(index, self.index_shards)
             self.dev = None
             self.stage1, self.o_spec = build_stage1(
-                lmax, tp.max_candidates, tp.P2, tp.P3, tp=True)
+                lmax, tp.max_candidates, tp.P2, tp.P3, tp=True,
+                ext_iters=tp.ext_iters)
             rep = NamedSharding(tp_mesh, P())
             shd = NamedSharding(tp_mesh, P("data"))
             self._tables_tp = (
@@ -1445,7 +1594,7 @@ class TpuNativeEngine:
             self.dev = device_index or DeviceIndex(index, device_put)
             self.stage1, self.o_spec = build_stage1(
                 lmax, self.dev.max_candidates, self.dev.n_index2,
-                self.dev.n_index3)
+                self.dev.n_index3, ext_iters=self.dev.ext_iters)
         self.n_fallback = 0
         self.n_units = 0
         self._pool = None  # collector threads (created lazily)
@@ -1688,7 +1837,8 @@ class TpuNativeEngine:
             interp = jax.default_backend() == "cpu"
             prog, _ = build_stage12(self.lmax, self.dev.max_candidates,
                                     self.dev.n_index2, self.dev.n_index3,
-                                    per, interpret=interp)
+                                    per, interpret=interp,
+                                    ext_iters=self.dev.ext_iters)
             if self.mesh is not None:
                 from ..parallel.mesh import shard_stage12
 
@@ -1704,7 +1854,8 @@ class TpuNativeEngine:
             interp = jax.default_backend() == "cpu"
             prog, _ = build_stage12pe(self.lmax, self.dev.max_candidates,
                                       self.dev.n_index2, self.dev.n_index3,
-                                      interpret=interp)
+                                      interpret=interp,
+                                      ext_iters=self.dev.ext_iters)
             if self.mesh is not None:
                 from ..parallel.mesh import shard_stage12pe
 

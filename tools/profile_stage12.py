@@ -104,7 +104,7 @@ def main():
         prog, _ = build_stage12(eng.lmax, eng.dev.max_candidates,
                                 eng.dev.n_index2, eng.dev.n_index3, per,
                                 interpret=jax.default_backend() == "cpu",
-                                cut=cut)
+                                cut=cut, ext_iters=eng.dev.ext_iters)
         t0 = time.perf_counter()
         out = prog(*tables, *args)
         np.asarray(out)  # force compile + first exec
