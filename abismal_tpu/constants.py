@@ -1,12 +1,23 @@
 """Shared constants.  Values mirror the reference so that indexes and SAM
 output are bit-compatible (reference: src/AbismalIndex.hpp:66-99,
 src/AbismalAlign.hpp:50-102, src/common.hpp:108-131, src/abismal.cpp:81-84).
+
+ABISMAL_TPU_SHORT=1 selects the reference's ENABLE_SHORT build profile
+(window_size 12 instead of 20, for reads shorter than the default's 44 bp
+minimum; /root/reference/configure.ac:69-73, AbismalIndex.hpp:73-77).  It is
+an import-time switch because, like the reference's compile-time flag, it
+changes the index format (validated on read) and every derived limit; the
+native helper is rebuilt with -DABISMAL_SHORT to match.
 """
 
+import os as _os
+
 # --- seed parameters (AbismalIndex.hpp:66-99) ---
+SHORT_PROFILE = bool(_os.environ.get("ABISMAL_TPU_SHORT"))
 KEY_WEIGHT = 25  # bits in the two-letter hash
 KEY_WEIGHT_THREE = 16  # symbols in the three-letter hash
-WINDOW_SIZE = 20  # every window of this size keeps >=1 indexed position
+# every window of this size keeps >=1 indexed position
+WINDOW_SIZE = 12 if SHORT_PROFILE else 20
 N_SORTING_POSITIONS = 256  # suffix length used to sort within buckets
 HASH_MASK = (1 << KEY_WEIGHT) - 1
 HASH_MASK_THREE = 3**KEY_WEIGHT_THREE  # 43,046,721

@@ -16,17 +16,24 @@ _LIBS = {}
 
 
 def _load(stem: str) -> ctypes.CDLL:
-    """Builds (if needed) and loads <stem>.cpp as <stem>-<srchash>.so."""
+    """Builds (if needed) and loads <stem>.cpp as <stem>-<srchash>.so.
+    The ENABLE_SHORT profile (constants.SHORT_PROFILE) compiles a separate
+    artifact with -DABISMAL_SHORT, keyed into the filename."""
+    from ..constants import SHORT_PROFILE
+
     src = os.path.join(_HERE, stem + ".cpp")
     with open(src, "rb") as f:
         digest = hashlib.sha256(f.read()).hexdigest()[:16]
-    so = os.path.join(_HERE, f"{stem}-{digest}.so")
+    suffix = "-short" if SHORT_PROFILE else ""
+    so = os.path.join(_HERE, f"{stem}-{digest}{suffix}.so")
     if not os.path.exists(so):
         tmp = so + f".tmp{os.getpid()}"
         cmd = [
             "g++", "-std=c++17", "-O3", "-fPIC", "-shared", "-march=native",
             "-pthread", "-o", tmp, src, "-lz",
         ]
+        if SHORT_PROFILE:
+            cmd.insert(1, "-DABISMAL_SHORT")
         subprocess.run(cmd, check=True, capture_output=True)
         os.replace(tmp, so)
     return ctypes.CDLL(so)

@@ -48,10 +48,14 @@ namespace {
 // ---------------------------------------------------------------------------
 const int KEY_WEIGHT = 25;
 const int KEY_WEIGHT_THREE = 16;
+#ifdef ABISMAL_SHORT  // ENABLE_SHORT profile (reference configure.ac:69-73)
+const int WINDOW_SIZE = 12;
+#else
 const int WINDOW_SIZE = 20;
+#endif
 const uint32_t HASH_MASK = (1u << 25) - 1;
 const uint32_t HASH3_MOD = 43046721u;  // 3^16
-const int MIN_READ_LENGTH = 44;
+const int MIN_READ_LENGTH = KEY_WEIGHT + WINDOW_SIZE - 1;
 const int SE_MAX = 50;
 const int PE_MAX_SMALL = 32;
 const int PE_MAX_LARGE = 32768;
@@ -3041,7 +3045,7 @@ void bgzf_compress(const char *payload, size_t n, std::string &out) {
     z_stream zs;
     std::memset(&zs, 0, sizeof(zs));
     deflateInit2(&zs, 6, Z_DEFLATED, -15, 8, Z_DEFAULT_STRATEGY);
-    zs.next_in = (Bytef *)(payload + off);
+    zs.next_in = reinterpret_cast<Bytef *>(const_cast<char *>(payload + off));
     zs.avail_in = (uInt)chunk;
     zs.next_out = cbuf.data();
     zs.avail_out = (uInt)cbuf.size();

@@ -1132,7 +1132,7 @@ index_count_hashes(const uint8_t *nib, int64_t n, const int64_t *exc_s,
   // is immaterial)
   struct DeferInc {
     uint32_t *cnt;
-    uint32_t ring[32];
+    uint32_t ring[32] = {};
     int head = 0, filled = 0;
     inline void add(uint32_t k) {
       __builtin_prefetch(cnt + k, 1);
@@ -1434,7 +1434,7 @@ index_capture_kept(const uint8_t *nib, int64_t n, const int64_t *exc_s,
     for (; p + 64 <= p1; p += 64) {
       uint64_t km = _mm512_test_epi8_mask(
           _mm512_loadu_si512((const void *)(keep + p)),
-          _mm512_set1_epi8(0xFF));
+          _mm512_set1_epi8(static_cast<char>(0xFF)));
       while (km) {
         const int j = __builtin_ctzll(km);
         km &= km - 1;

@@ -11,7 +11,8 @@ REFERENCE_DIR="${REFERENCE_DIR:-/root/reference}"
 OUT_DIR="${1:-/tmp/abismal_reference_oracle}"
 SHIM_DIR="$(cd "$(dirname "$0")/shim" && pwd)"
 mkdir -p "$OUT_DIR"
-g++ -std=c++17 -O2 -I "$SHIM_DIR" -I "$REFERENCE_DIR/src" \
+# EXTRA_FLAGS: e.g. -DENABLE_SHORT for the window_size=12 build profile
+g++ -std=c++17 -O2 ${EXTRA_FLAGS:-} -I "$SHIM_DIR" -I "$REFERENCE_DIR/src" \
   -o "$OUT_DIR/abismal" \
   "$REFERENCE_DIR/src/abismal_main.cpp" \
   "$REFERENCE_DIR/src/abismal.cpp" \
