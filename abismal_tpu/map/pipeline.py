@@ -58,6 +58,53 @@ def o_spec_for(lmax: int) -> int:
     """Static specific-phase offset bound for a padded read length."""
     return max(WINDOW_SIZE, lmax >> 1)
 
+
+def estimate_cand_budget(counters, max_candidates: int, units, is_ga,
+                         lmax: int, sample: int = 512) -> int:
+    """Workload-informed per-unit candidate budget: replays the seeding
+    policy's bucket-size checks in NumPy over a sample of real units
+    (keys via rolling hashes, sizes via the counter prefix arrays) and
+    sizes the POOLED device budget at ~1.4x the measured mean.
+
+    Every per-candidate device op is gather-issue-bound, so overshooting
+    the budget costs wall-clock linearly; the density heuristic
+    (auto_cand_budget) overshoots up to 12x at GB scale because indexed-
+    position counts say little about read-weighted bucket sizes.  The
+    pooled budget makes the margin safe: units past the pool fall back to
+    the exact host path (overflow flag), so an underestimate costs speed,
+    never correctness."""
+    from .seeds import read_hashes
+
+    c2, ct, ca = (c.astype(np.int64) for c in counters)
+    mc = max_candidates
+    tot = 0.0
+    n = 0
+    step = max(1, len(units) // sample)
+    for i in range(0, len(units), step):
+        u = units[i]
+        rl = int(u.shape[0])
+        if rl < KEY_WEIGHT + WINDOW_SIZE - 1:
+            continue
+        k2, k3t, k3a = read_hashes(u)
+        k3 = k3a if is_ga[i] else k3t
+        c3 = ca if is_ga[i] else ct
+        s2 = c2[k2 + 1] - c2[k2]
+        s3 = c3[k3 + 1] - c3[k3]
+        o_sp = min(max(WINDOW_SIZE, rl >> 1), o_spec_for(lmax))
+        # specific phase: small buckets checked as-is, oversized ones
+        # extension-capped at SLOT (upper bound; most narrow below mc)
+        est = (np.minimum(s2[:o_sp], SLOT).sum()
+               + np.minimum(s3[:o_sp], SLOT).sum())
+        # sensitive phase: only small buckets; the 2-letter fold rule
+        # (d2 <= 10*d3) is ignored (upper bound)
+        est += s2[(s2 <= mc)].sum() + s3[(s3 <= mc)].sum()
+        tot += float(est)
+        n += 1
+    if n == 0:
+        return 64
+    mean = tot / n
+    return int(min(8192, max(64, (int(mean * 1.4) + 95) & ~63)))
+
 _jax = None
 _jnp = None
 
@@ -242,7 +289,7 @@ CORE_CUTS = ("hash", "ranges", "extend", "list", "unitstats")
 def _make_core(lmax: int, max_candidates: int, n_index2: int,
                n_index3: int, cand_per_unit: int, tp: bool,
                cut: str | None = None, ext_iters: int = 31,
-               ext_pool: int = 2048):
+               ext_pool: int | None = None):
     """Builds the candidate-generation core shared by stage-1 (event-stream
     output for the host replay) and the fused stage-1+2 program (device
     decide/align; build_stage12).
@@ -259,12 +306,22 @@ def _make_core(lmax: int, max_candidates: int, n_index2: int,
       4. one popcount-compare pass over the global list using contiguous
          window slice-gathers from the packed genome.
 
+    Cost model (measured on v5e, tools/trace_ops.py): every gather/scatter
+    is issue-rate-bound at ~10-25 ns per ROW regardless of row width, so
+    the core packs ALL per-cell and per-unit values a candidate needs into
+    ONE (B*n_cells, MEGA_W) row table gathered once per candidate
+    ("megarow"), leaving exactly three per-candidate random accesses:
+    the megarow, the position lookup (index_all) and the genome window row.
+
     Returns (core, o_spec): core(genome32, genome2o, counter2, counter3,
-    index_all, pnib, lens, is_ga, shard) -> dict of per-candidate arrays (pos, d,
-    b_of, cell_of, slot, valid), per-unit spans (unit_start, unit_total)
-    and overflow flags (cell cap or unit candidate budget exceeded)."""
+    index_all, pnib, lens, is_ga, uextra, shard) -> dict of per-candidate
+    arrays (pos, d, b_of, cell_of, slot, valid, extras -- the per-unit
+    uextra columns gathered per candidate), per-unit spans (unit_start,
+    unit_total) and overflow flags (cell cap or unit candidate budget
+    exceeded).  uextra: (B, E) i32 per-unit columns riding the megarow
+    (E >= 1; callers put their per-unit thresholds here instead of paying
+    their own per-candidate gathers)."""
     jax, jnp = _jm()
-    EXT_POOL = int(os.environ.get("ABISMAL_TPU_EXT_POOL", ext_pool))
     ext_iters = int(os.environ.get("ABISMAL_TPU_EXT_ITERS", ext_iters))
     o_spec = o_spec_for(lmax)
     o_sens = lmax - KEY_WEIGHT + 1
@@ -272,23 +329,18 @@ def _make_core(lmax: int, max_candidates: int, n_index2: int,
     n_words = 2 * ((lmax + 15) // 16)  # u32 words incl. the 0xF tail block
     CELLCAP = SLOT  # max candidates per cell
     CAND_PER_UNIT = cand_per_unit
+    from ..kernels.popcount_compare import build_popcount_compare
 
-    # static per-cell offset table in discovery-rank order:
-    # spec cells (i*2 + table), then sens cells ((o_spec+i)*2 + table)
-    cell_offs_np = np.zeros(n_cells, dtype=np.int32)
-    for i in range(o_spec):
-        cell_offs_np[2 * i] = i
-        cell_offs_np[2 * i + 1] = i
-    for i in range(o_sens):
-        cell_offs_np[2 * (o_spec + i)] = i
-        cell_offs_np[2 * (o_spec + i) + 1] = i
+    compare = build_popcount_compare(
+        96 if n_words + 1 + 31 > 64 else 64, n_words,
+        interpret=jax.default_backend() == "cpu")
 
     def nib_at(genome32, pos):
         word = genome32[(pos >> np.uint32(3)).astype(jnp.int32)]
         return (word >> ((pos & np.uint32(7)) * np.uint32(4))) & np.uint32(0xF)
 
     def core(genome32, genome2o, counter2, counter3, index_all, pnib, lens,
-             is_ga, shard=None):
+             is_ga, uextra, shard=None):
         """pnib: (B, (lmax+32)/2) u8 with two read nibbles per byte (base i
         in nibble i&1 of byte i>>1); lens: (B,) i32; is_ga: (B,) bool.
         Unpacking, word packing and word masks are all derived on device
@@ -306,6 +358,14 @@ def _make_core(lmax: int, max_candidates: int, n_index2: int,
         unsharded stream).  Bucket SIZES come from the replicated counter
         tables, so specific/sensitive check policies are shard-invariant."""
         B = pnib.shape[0]
+        # extension-pool size: active lanes are rare (~0.06/unit on the
+        # GB-scale bench), so a quarter-of-B pool covers real workloads
+        # with a wide margin while keeping the pool's window-LCP gather
+        # pass (EXT_POOL x 258 rows) off the critical path; spills flag
+        # units for exact host fallback
+        EXT_POOL = int(os.environ.get(
+            "ABISMAL_TPU_EXT_POOL",
+            max(512, B // 4) if ext_pool is None else ext_pool))
         if tp:
             k2lo, k2hi = shard[0], shard[1]
             lo3u = jnp.where(is_ga, shard[4], shard[2])  # (B,) key bounds
@@ -433,12 +493,10 @@ def _make_core(lmax: int, max_candidates: int, n_index2: int,
         (lane_id,) = jnp.nonzero(flat_act, size=EXT_POOL,
                                  fill_value=2 * n_lanes)
         # lanes beyond the pool: flag their units for host fallback
+        # (reshape+any, not a scatter: lane order is (table, unit, offset))
         cum_act = jnp.cumsum(flat_act.astype(jnp.int32))
         over_lane = flat_act & (cum_act > EXT_POOL)
-        unit_of_flat = (jnp.arange(2 * n_lanes, dtype=jnp.int32)
-                        % n_lanes) // o_spec
-        ext_fb = jnp.zeros(B, bool).at[
-            jnp.where(over_lane, unit_of_flat, 0)].max(over_lane)
+        ext_fb = jnp.any(over_lane.reshape(2, B, o_spec), axis=(0, 2))
 
         pvv = lane_id < 2 * n_lanes
         lid = jnp.minimum(lane_id, 2 * n_lanes - 1)
@@ -553,16 +611,19 @@ def _make_core(lmax: int, max_candidates: int, n_index2: int,
             s3x, e3x = s3, e3
             ext_fb = jnp.zeros(B, bool)
         else:
-            # fused lower/upper-bound search over the class-sorted bucket
-            aL, bL = lo0, hi0
-            aU, bU = lo0, hi0
+            # fused lower/upper-bound search over the class-sorted bucket;
+            # fori_loop (not an unrolled Python loop) keeps the compiled
+            # HLO a single body -- at GB scale ext_iters is ~20+ and the
+            # unrolled form dominated compile time
             tbl2x = jnp.concatenate([tbl3, tbl3])
             ga2x = jnp.concatenate([p_ga, p_ga])
             D2x = jnp.concatenate([Dl, Dl])
             ib2x = jnp.concatenate([idx_b, idx_b])
             kw2x = jnp.concatenate([kw_l, kw_l]).astype(jnp.uint32)
             qcls2x = jnp.concatenate([qcls, qcls], axis=0)
-            for _ in range(ext_iters):
+
+            def bis_body(_, st):
+                aL, bL, aU, bU = st
                 midL = (aL + bL) >> 1
                 midU = (aU + bU) >> 1
                 mids = jnp.concatenate([midL, midU])
@@ -575,7 +636,10 @@ def _make_core(lmax: int, max_candidates: int, n_index2: int,
                 bL = jnp.where(cL & ~gL, midL, bL)
                 aU = jnp.where(cU & gU, midU + 1, aU)
                 bU = jnp.where(cU & ~gU, midU, bU)
-            Lb, Ub = aL, aU
+                return aL, bL, aU, bU
+
+            Lb, _, Ub, _ = jax.lax.fori_loop(
+                0, ext_iters, bis_body, (lo0, hi0, lo0, hi0))
 
             # LCP window: EXT_W positions on each side of [L, U)
             wi = jnp.arange(EXT_W, dtype=jnp.int32)
@@ -705,8 +769,6 @@ def _make_core(lmax: int, max_candidates: int, n_index2: int,
         lo_sn = interleave(s2n, base3[:, None] + s3n)
         lo_cells = jnp.concatenate([lo_sp, lo_sn], axis=1)
 
-        cell_offs = jnp.asarray(cell_offs_np)
-
         # --- global candidate list via prefix sums ---
         cnt_flat = cnt_cells.reshape(-1)
         inc = jnp.cumsum(cnt_flat)
@@ -726,11 +788,35 @@ def _make_core(lmax: int, max_candidates: int, n_index2: int,
         cell_gid = jax.lax.associative_scan(jnp.maximum, cellmark[:gflat])
         b_of = cell_gid // n_cells
         cell_of = cell_gid % n_cells
-        slot = f - starts[cell_gid]
         valid = f < total
-        lo_flat = lo_cells.reshape(-1)[cell_gid]
+
+        # --- megarow: ONE row gather carries every per-cell and per-unit
+        # value a candidate needs (see the cost model in the builder
+        # docstring): [cell start, bucket offset, packed read words,
+        # valid-word count, caller extras]
+        nw_unit = 2 * ((lens + 15) // 16)  # valid words per unit
+        ucols = jnp.concatenate(
+            [jax.lax.bitcast_convert_type(packed, jnp.int32),
+             nw_unit[:, None], uextra.astype(jnp.int32)], axis=1)
+        E = ucols.shape[1]
+        tbl = jnp.concatenate(
+            [jnp.stack([starts.reshape(B, n_cells),
+                        lo_cells], axis=2),
+             jnp.broadcast_to(ucols[:, None, :], (B, n_cells, E))],
+            axis=2).reshape(B * n_cells, 2 + E)
+        mega = tbl[cell_gid]
+        slot = f - mega[:, 0]
+        lo_flat = mega[:, 1]
+        packed_rows = jax.lax.bitcast_convert_type(
+            mega[:, 2 : 2 + n_words], jnp.uint32)
+        nw_of = mega[:, 2 + n_words]
+        extras = mega[:, 3 + n_words :]
+
+        # per-cell seed offset, by rank arithmetic (no table lookup)
+        coff = jnp.where(cell_of < 2 * o_spec, cell_of >> 1,
+                         (cell_of - 2 * o_spec) >> 1)
         pos = (index_all[jnp.where(valid, lo_flat + slot, 0)]
-               .astype(jnp.uint32) - cell_offs[cell_of].astype(jnp.uint32))
+               .astype(jnp.uint32) - coff.astype(jnp.uint32))
         pos = jnp.where(valid, pos, 0)
 
         if cut == "list":  # profiling cut: + global candidate list (pos)
@@ -744,9 +830,12 @@ def _make_core(lmax: int, max_candidates: int, n_index2: int,
 
         # --- popcount compare over contiguous genome windows ---
         # ONE overlapped aligned-row gather per candidate (64 words cover
-        # any 19-word window), then a 5-step log-roll aligns the window to
-        # column 0 with pure vector ops: gathers are issue-rate-bound on
-        # TPU, so 1 row-gather beats 19 element-gathers ~15x
+        # any 19-word window): gathers are issue-rate-bound on TPU, so 1
+        # row-gather beats 19 element-gathers ~15x.  The word-alignment
+        # log-roll + nibble shift + popcount reduction run as a single
+        # Pallas streaming pass (kernels/popcount_compare.py) -- the
+        # unfused XLA form materialized every roll step to HBM and was the
+        # top cost of the program (28 us/unit at a 128 Mb index)
         w = (pos >> np.uint32(3)).astype(jnp.int32)
         sh = (pos & np.uint32(7)) * np.uint32(4)
         A = genome2o[w >> 5]
@@ -755,22 +844,10 @@ def _make_core(lmax: int, max_candidates: int, n_index2: int,
             # window; splice the next 32 words from row (w>>5)+2
             A = jnp.concatenate([A, genome2o[(w >> 5) + 2][:, :32]], axis=1)
         ow = w & 31
-        for s in (16, 8, 4, 2, 1):
-            rolled = jnp.concatenate(
-                [A[:, s:], jnp.zeros((gflat, s), jnp.uint32)], axis=1)
-            A = jnp.where((ow & s)[:, None] != 0, rolled, A)
-        win = A[:, : n_words + 1]
-        packed_rows = packed[b_of]
-        wmask_rows = wmask[b_of]
-        d = jnp.zeros((gflat,), dtype=jnp.int32)
-        for j in range(n_words):
-            window = (win[:, j] >> sh) | ((win[:, j + 1]
-                                           << (np.uint32(31) - sh)) << 1)
-            m = jax.lax.population_count(packed_rows[:, j] & window)
-            d = d + wmask_rows[:, j] * (8 - m.astype(jnp.int32))
+        d = compare(A, packed_rows, ow, sh, nw_of)
 
         return dict(pos=pos, d=d, b_of=b_of, cell_of=cell_of, slot=slot,
-                    valid=valid, unit_start=unit_start,
+                    valid=valid, extras=extras, unit_start=unit_start,
                     unit_total=unit_total, overflow=overflow)
 
     return core, o_spec
@@ -814,21 +891,19 @@ def build_stage1(lmax: int, max_candidates: int, n_index2: int,
         gcap = B * GCAP_PER_UNIT
         gflat = B * CAND_PER_UNIT
         c = core(genome32, genome2o, counter2, counter3, index_all,
-                 pnib, lens, is_ga, shard)
-        pos, d, b_of = c["pos"], c["d"], c["b_of"]
+                 pnib, lens, is_ga, thr[:, None], shard)
+        pos, d = c["pos"], c["d"]
         cell_of, slot, valid = c["cell_of"], c["slot"], c["valid"]
         unit_start, unit_total = c["unit_start"], c["unit_total"]
         overflow = c["overflow"]
 
-        accept = valid & (d <= thr[b_of])
+        # thr rides the megarow (core extras): no per-candidate gather
+        accept = valid & (d <= c["extras"][:, 0])
 
         # --- compact accepted events into the global stream ---
         acc = accept.astype(jnp.int32)
         gdest = jnp.cumsum(acc) - acc
         ok = accept & (gdest < gcap)
-        dropped = jnp.zeros(B, dtype=jnp.int32).at[b_of].max(
-            (accept & (gdest >= gcap)).astype(jnp.int32))
-        overflow = overflow | (dropped > 0)
         gdest_c = jnp.where(ok, gdest, gcap)
         rank = cell_of * SLOT + slot
         # diffs biased by +512 into a 10-bit field (IUPAC genome codes can
@@ -837,15 +912,20 @@ def build_stage1(lmax: int, max_candidates: int, n_index2: int,
         # 1488 cells x 128 slots)
         meta = (((d + 512).astype(jnp.uint32)) << 22) | rank.astype(
             jnp.uint32)
-        gpos = jnp.zeros(gcap + 1, dtype=jnp.uint32).at[gdest_c].set(pos)
-        gmeta = jnp.zeros(gcap + 1, dtype=jnp.uint32).at[gdest_c].set(
-            jnp.where(ok, meta, 0))
+        # ONE row scatter for (pos, meta): scatters are issue-rate-bound
+        # per row, like gathers
+        gev = jnp.zeros((gcap + 1, 2), dtype=jnp.uint32).at[gdest_c].set(
+            jnp.stack([pos, jnp.where(ok, meta, 0)], axis=1))
         # per-unit accepted-event counts from the accept prefix sums
         acc_inc = gdest + acc  # inclusive cumsum of acc
         acc_at = jnp.concatenate([jnp.zeros(1, jnp.int32), acc_inc])
         ustart = jnp.minimum(unit_start, gflat)
         uend = jnp.minimum(unit_start + unit_total, gflat)
         count = acc_at[uend] - acc_at[ustart]
+        # a unit dropped events iff its accepted span crosses the gcap
+        # boundary (arithmetic on the prefix sums, not a scatter)
+        dropped = acc_at[uend] > jnp.maximum(gcap, acc_at[ustart])
+        overflow = overflow | dropped
 
         # short reads (< 49 bp) can drive the reference extension past the
         # read end (UB upstream); route them to the host path, as well as
@@ -853,7 +933,7 @@ def build_stage1(lmax: int, max_candidates: int, n_index2: int,
         # diffs field of the packed event meta (len > 512)
         overflow = overflow | ((lens > 0) & (lens < 49)) | (thr > 511) | (
             lens > 512)
-        ev = jnp.stack([gpos[:gcap], gmeta[:gcap]])
+        ev = gev[:gcap].T
         cf = count | (overflow.astype(jnp.int32) << 30)
         return ev, cf
 
@@ -937,30 +1017,35 @@ def build_stage12(lmax: int, max_candidates: int, n_index2: int,
         B = pnib.shape[0]
         R = B // per
         J = ((jobs_per_read * R + 127) // 128) * 128
+        rlen = jnp.max(lens.reshape(R, per), axis=1)
+        good_cut = rlen // 10                  # == int(0.1 * len)
+        sens_gate = (2 * rlen) // 5            # == int(0.4 * len)
+        max_scr = 2 * rlen
+        uextra = jnp.stack(
+            [jnp.repeat(good_cut, per), jnp.repeat(sens_gate, per),
+             jnp.tile(scode.astype(jnp.int32), R)], axis=1)
         c = core(genome32, genome2o, counter2, counter3, index_all,
-                 pnib, lens, is_ga, None)
+                 pnib, lens, is_ga, uextra, None)
         if "cut" in c:  # profiling cut inside the core
             return c["cut"]
         pos, d, b_of = c["pos"], c["d"], c["b_of"]
         cell_of, valid = c["cell_of"], c["valid"]
         unit_total, overflow = c["unit_total"], c["overflow"]
+        extras = c["extras"]
         ncand = pos.shape[0]
         if cut == "core":  # profiling cut: candidate core only
             return jnp.stack([jnp.sum(pos.astype(jnp.int32)), jnp.sum(d),
                               jnp.sum(valid), jnp.sum(unit_total)])
 
         r_of = b_of // per
-        rlen = jnp.max(lens.reshape(R, per), axis=1)
-        good_cut = rlen // 10                  # == int(0.1 * len)
-        sens_gate = (2 * rlen) // 5            # == int(0.4 * len)
-        max_scr = 2 * rlen
 
         # --- decision gates (constant per phase while the heap is not
-        # full; see the exactness argument above) ---
+        # full; see the exactness argument above); the per-read cutoffs
+        # and the unit's strand code ride the megarow (core extras) ---
         phase_sp = cell_of < 2 * o_spec
-        gate = valid & jnp.where(phase_sp, d <= good_cut[r_of],
-                                 d <= sens_gate[r_of])
-        scode_cand = scode[b_of % per]
+        gc_of, sg_of, scode_cand = (extras[:, 0], extras[:, 1],
+                                    extras[:, 2])
+        gate = valid & jnp.where(phase_sp, d <= gc_of, d <= sg_of)
         is_ex = gate & (d == 0)
         nonex = gate & (d != 0)
 
@@ -974,8 +1059,12 @@ def build_stage12(lmax: int, max_candidates: int, n_index2: int,
         fe = jnp.minimum(first_ex, ncand - 1)
         e_pos0 = pos[fe]
         e_s0 = scode_cand[fe]
-        ex_mism = is_ex & ((pos != e_pos0[r_of]) | (scode_cand
-                                                    != e_s0[r_of]))
+        ekey = jnp.stack(
+            [jax.lax.bitcast_convert_type(e_pos0, jnp.int32), e_s0],
+            axis=1)[r_of]  # one row gather for both first-exact fields
+        ex_mism = is_ex & (
+            (pos != jax.lax.bitcast_convert_type(ekey[:, 0], jnp.uint32))
+            | (scode_cand != ekey[:, 1]))
         ex_ambig = jnp.zeros(R, bool).at[r_of].max(ex_mism)
 
         # --- non-exact candidate compaction into (R, K) slots ---
@@ -992,16 +1081,25 @@ def build_stage12(lmax: int, max_candidates: int, n_index2: int,
         slot_r = c_exc - base[r_of]
         keep = nonex & (slot_r < K)
         dest = jnp.where(keep, r_of * K + jnp.minimum(slot_r, K - 1), R * K)
-        posK = jnp.full(R * K + 1, POS_EMPTY, jnp.uint32).at[dest].set(pos)
-        sKf = jnp.full(R * K + 1, 0x7FFFFFFF, jnp.int32).at[dest].set(
-            scode_cand)
-        dKf = jnp.zeros(R * K + 1, jnp.int32).at[dest].set(d)
+        # ONE row scatter carrying (pos, scode << 10 | d): duplicate
+        # (pos, scode) slots provably share d (d is a function of
+        # (unit, pos)), so packing d under the sort key cannot reorder
+        scd = (scode_cand << 10) | d
+        fillK = jnp.concatenate(
+            [jnp.full((R * K + 1, 1), -1, jnp.int32),  # -1 == POS_EMPTY
+             jnp.full((R * K + 1, 1), 0x7FFFFFFF, jnp.int32)], axis=1)
+        slotsK = fillK.at[dest].set(jnp.stack(
+            [jax.lax.bitcast_convert_type(pos, jnp.int32), scd], axis=1))
         # dedup-sort by (pos, flags) (prepare_for_alignments,
         # abismal.cpp:429-439); empty slots sort last (pos = u32 max
         # exceeds any genome position)
-        posK, sK, dK = jax.lax.sort(
-            (posK[: R * K].reshape(R, K), sKf[: R * K].reshape(R, K),
-             dKf[: R * K].reshape(R, K)), dimension=1, num_keys=2)
+        posKi, scdK = jax.lax.sort(
+            (jax.lax.bitcast_convert_type(
+                slotsK[: R * K, 0], jnp.uint32).reshape(R, K),
+             slotsK[: R * K, 1].reshape(R, K)), dimension=1, num_keys=2)
+        posK = posKi
+        sK = scdK >> 10
+        dK = jnp.where(scdK == 0x7FFFFFFF, 0x7FFFFFFF, scdK & 1023)
         filled = posK != POS_EMPTY
         dup = jnp.concatenate(
             [jnp.zeros((R, 1), bool),
@@ -1033,17 +1131,21 @@ def build_stage12(lmax: int, max_candidates: int, n_index2: int,
         jexc = jnp.cumsum(jm) - jm
         job_ok = (jm != 0) & (jexc < J)
         job_over = (jm != 0) & (jexc >= J)
-        job_fb = jnp.zeros(R, bool).at[
-            jnp.repeat(jnp.arange(R, dtype=jnp.int32), K)].max(job_over)
+        job_fb = jnp.any(job_over.reshape(R, K), axis=1)
         jdest = jnp.where(job_ok, jexc, J)
-        junit = jnp.zeros(J + 1, jnp.int32).at[jdest].set(qrowK.reshape(-1))
-        jpos = jnp.full(J + 1, 32767, jnp.uint32).at[jdest].set(
-            posK.reshape(-1))
-        jbw = jnp.ones(J + 1, jnp.int32).at[jdest].set(bwK.reshape(-1))
-        jqsz = jnp.zeros(J + 1, jnp.int32).at[jdest].set(
-            jnp.repeat(rlen, K))
-        junit, jpos = junit[:J], jpos[:J]
-        jbw, jqsz = jbw[:J], jqsz[:J]
+        # ONE row scatter for the four job fields
+        jfill = jnp.concatenate(
+            [jnp.zeros((J + 1, 1), jnp.int32),
+             jnp.full((J + 1, 1), 32767, jnp.int32),
+             jnp.ones((J + 1, 1), jnp.int32),
+             jnp.zeros((J + 1, 1), jnp.int32)], axis=1)
+        jrows = jfill.at[jdest].set(jnp.stack(
+            [qrowK.reshape(-1),
+             jax.lax.bitcast_convert_type(posK, jnp.int32).reshape(-1),
+             bwK.reshape(-1), jnp.repeat(rlen, K)], axis=1))
+        junit = jrows[:J, 0]
+        jpos = jax.lax.bitcast_convert_type(jrows[:J, 1], jnp.uint32)
+        jbw, jqsz = jrows[:J, 2], jrows[:J, 3]
         # v3 job prep: ONE unit-row gather for the query (the kernel's row
         # reparametrization needs no per-job query shift) and ONE
         # overlapped genome-row gather for the window, nibble-aligned by a
@@ -1185,19 +1287,22 @@ def build_stage12pe(lmax: int, max_candidates: int, n_index2: int,
                   pnib, lens, is_ga, max_diffs_u):
         B = pnib.shape[0]
         J = ((jobs_per_unit * B + 127) // 128) * 128
+        good_cut = lens // 10                 # == readlen / 10
+        sens_gate = (2 * lens) // 5           # == int(0.4 * len), sentinel
+        uextra = jnp.stack([good_cut, sens_gate, max_diffs_u, lens], axis=1)
         c = core(genome32, genome2o, counter2, counter3, index_all,
-                 pnib, lens, is_ga, None)
+                 pnib, lens, is_ga, uextra, None)
         pos, d, b_of = c["pos"], c["d"], c["b_of"]
         cell_of, valid = c["cell_of"], c["valid"]
         unit_start, unit_total = c["unit_start"], c["unit_total"]
         overflow = c["overflow"]
+        extras = c["extras"]
         ncand = pos.shape[0]
 
-        good_cut = lens // 10                 # == readlen / 10
-        sens_gate = (2 * lens) // 5           # == int(0.4 * len), sentinel
+        # per-unit cutoffs ride the megarow (core extras)
         phase_sp = cell_of < 2 * o_spec
-        gate = valid & jnp.where(phase_sp, d <= good_cut[b_of],
-                                 d <= sens_gate[b_of])
+        gate = valid & jnp.where(phase_sp, d <= extras[:, 0],
+                                 d <= extras[:, 1])
 
         # per-unit slot index among accepted candidates, discovery order
         acc = gate.astype(jnp.int32)
@@ -1205,30 +1310,48 @@ def build_stage12pe(lmax: int, max_candidates: int, n_index2: int,
         c_exc = c_inc - acc
         c_at = jnp.concatenate([c_exc, c_inc[-1:]])
         base = c_at[jnp.minimum(unit_start, ncand)]
-        n_acc = c_at[jnp.minimum(unit_start + unit_total, ncand)] - base
+        uend_at = jnp.minimum(unit_start + unit_total, ncand)
+        n_acc = c_at[uend_at] - base
         heap_fb = n_acc > K - 1  # insert #32 fills the heap
         slot_u = c_exc - base[b_of]
         keep = gate & (slot_u < K - 1)
         dest = jnp.where(keep, b_of * K + jnp.minimum(slot_u, K - 1), B * K)
-        posK = jnp.zeros(B * K + 1, jnp.uint32).at[dest].set(pos)
-        dKf = jnp.zeros(B * K + 1, jnp.int32).at[dest].set(d)
+        # ONE row scatter for (pos, d)
+        pdK = jnp.zeros((B * K + 1, 2), jnp.int32).at[dest].set(jnp.stack(
+            [jax.lax.bitcast_convert_type(pos, jnp.int32), d], axis=1))
+        posK = jax.lax.bitcast_convert_type(pdK[: B * K, 0], jnp.uint32)
+        dKf = pdK[:, 1]
 
         # --- score every kept candidate (Pallas) ---
-        md = max_diffs_u[b_of]
+        md = extras[:, 2]
         bw_c = 2 * jnp.minimum(d, md) + 1
-        bw_fb = jnp.zeros(B, bool).at[b_of].max(keep & (bw_c > BW_MAX))
         jm = keep.astype(jnp.int32)
-        jexc = jnp.cumsum(jm) - jm
+        k_inc = jnp.cumsum(jm)
+        jexc = k_inc - jm
         job_ok = keep & (jexc < J)
-        job_fb = jnp.zeros(B, bool).at[b_of].max(keep & (jexc >= J))
-        jdest = jnp.where(job_ok, jexc, J)
-        junit = jnp.zeros(J + 1, jnp.int32).at[jdest].set(b_of)
-        jpos = jnp.full(J + 1, 32767, jnp.uint32).at[jdest].set(pos)
-        jbw = jnp.ones(J + 1, jnp.int32).at[jdest].set(
-            jnp.minimum(bw_c, BW_MAX))
-        jqsz = jnp.zeros(J + 1, jnp.int32).at[jdest].set(lens[b_of])
-        junit, jpos = junit[:J], jpos[:J]
-        jbw, jqsz = jbw[:J], jqsz[:J]
+        # per-unit fallback flags from prefix arithmetic (candidate spans
+        # are contiguous per unit), not (gflat -> B) scatters
+        ustart_c = jnp.minimum(unit_start, ncand)
+        k_atx = jnp.concatenate([jnp.zeros(1, jnp.int32), k_inc])
+        job_fb = k_atx[uend_at] > jnp.maximum(J, k_atx[ustart_c])
+        bwm = (keep & (bw_c > BW_MAX)).astype(jnp.int32)
+        b_atx = jnp.concatenate([jnp.zeros(1, jnp.int32),
+                                 jnp.cumsum(bwm)])
+        bw_fb = (b_atx[uend_at] - b_atx[ustart_c]) > 0
+        jdest = jnp.where(job_ok & (bw_c <= BW_MAX), jexc, J)
+        # ONE row scatter for the four job fields; bw-overflow jobs fall
+        # out of jdest and are detected per unit below
+        jfill = jnp.concatenate(
+            [jnp.zeros((J + 1, 1), jnp.int32),
+             jnp.full((J + 1, 1), 32767, jnp.int32),
+             jnp.ones((J + 1, 1), jnp.int32),
+             jnp.zeros((J + 1, 1), jnp.int32)], axis=1)
+        jrows = jfill.at[jdest].set(jnp.stack(
+            [b_of, jax.lax.bitcast_convert_type(pos, jnp.int32),
+             jnp.minimum(bw_c, BW_MAX), extras[:, 3]], axis=1))
+        junit = jrows[:J, 0]
+        jpos = jax.lax.bitcast_convert_type(jrows[:J, 1], jnp.uint32)
+        jbw, jqsz = jrows[:J, 2], jrows[:J, 3]
 
         rows = pnib[junit]
         q = jnp.stack([rows & np.uint8(0xF), rows >> np.uint8(4)],
@@ -1595,6 +1718,11 @@ class TpuNativeEngine:
             self.stage1, self.o_spec = build_stage1(
                 lmax, self.dev.max_candidates, self.dev.n_index2,
                 self.dev.n_index3, ext_iters=self.dev.ext_iters)
+        # host-side counter refs + lazy workload-informed candidate budget
+        # for the fused stage-1+2 programs (estimate_cand_budget)
+        self._host_counters = (index.counter, index.counter_t,
+                               index.counter_a)
+        self.cand_budget = None
         self.n_fallback = 0
         self.n_units = 0
         self._pool = None  # collector threads (created lazily)
@@ -1828,39 +1956,53 @@ class TpuNativeEngine:
             self._pool = ThreadPoolExecutor(max_workers=self.pipeline_depth)
         return self._pool.submit(self._collect_flat, disp, n_units)
 
+    def _budget_for(self, units, is_ga_pat, per):
+        """Workload-informed candidate budget, measured once on the first
+        batch's units (estimate_cand_budget)."""
+        if self.cand_budget is None:
+            is_ga = [bool(is_ga_pat[i % per]) for i in range(len(units))]
+            self.cand_budget = estimate_cand_budget(
+                self._host_counters, self.dev.max_candidates, units, is_ga,
+                self.lmax)
+        return self.cand_budget
+
     # --- fused stage-1+2 path (SE): one record per read --------------------
-    def _stage12_prog(self, per):
-        prog = self._stage12_progs.get(per)
+    def _stage12_prog(self, per, cand_budget=None):
+        key = (per, cand_budget)
+        prog = self._stage12_progs.get(key)
         if prog is None:
             import jax
 
             interp = jax.default_backend() == "cpu"
             prog, _ = build_stage12(self.lmax, self.dev.max_candidates,
                                     self.dev.n_index2, self.dev.n_index3,
-                                    per, interpret=interp,
+                                    per, cand_per_unit=cand_budget,
+                                    interpret=interp,
                                     ext_iters=self.dev.ext_iters)
             if self.mesh is not None:
                 from ..parallel.mesh import shard_stage12
 
                 prog = shard_stage12(prog, self.mesh)
-            self._stage12_progs[per] = prog
+            self._stage12_progs[key] = prog
         return prog
 
-    def _stage12pe_prog(self):
-        prog = self._stage12_progs.get("pe")
+    def _stage12pe_prog(self, cand_budget=None):
+        key = ("pe", cand_budget)
+        prog = self._stage12_progs.get(key)
         if prog is None:
             import jax
 
             interp = jax.default_backend() == "cpu"
             prog, _ = build_stage12pe(self.lmax, self.dev.max_candidates,
                                       self.dev.n_index2, self.dev.n_index3,
+                                      cand_per_unit=cand_budget,
                                       interpret=interp,
                                       ext_iters=self.dev.ext_iters)
             if self.mesh is not None:
                 from ..parallel.mesh import shard_stage12pe
 
                 prog = shard_stage12pe(prog, self.mesh)
-            self._stage12_progs["pe"] = prog
+            self._stage12_progs[key] = prog
         return prog
 
     @staticmethod
@@ -1949,7 +2091,8 @@ class TpuNativeEngine:
         scode_pat = self._se_scode_pattern(a_rich_mode, random_pbat)
         is_ga_pat = np.array([get_conv_is_ga(int(c)) for c in scode_pat],
                              dtype=bool)
-        prog = self._stage12_prog(per)
+        prog = self._stage12_prog(per,
+                                  self._budget_for(units, is_ga_pat, per))
         q = per * self.n_shards  # batch quantum (units/read x mesh axis)
         B = max(q, self.unit_batch - (self.unit_batch % q))
         rpc = B // per  # reads per chunk
@@ -2015,7 +2158,7 @@ class TpuNativeEngine:
                                                      a_rich_mode,
                                                      random_pbat)
         is_ga_pat = self._pe_is_ga_pattern(a_rich_mode, random_pbat)
-        prog = self._stage12pe_prog()
+        prog = self._stage12pe_prog(self._budget_for(units, is_ga_pat, per))
         q = per * self.n_shards
         B = max(q, self.unit_batch - (self.unit_batch % q))
         ppc = B // per  # pairs per chunk

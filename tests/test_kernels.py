@@ -68,3 +68,34 @@ def test_native_aligner_matches_numpy_oracle(trex1_index):
         c_nat = nat.build_cigar_len_and_pos(diffs, max_diffs, p)
         c_ora = ora.build_cigar_len_and_pos(diffs, max_diffs, p)
         assert c_nat == c_ora
+
+
+def test_popcount_compare_kernel_matches_oracle():
+    """The Pallas compare kernel (interpret mode) vs a direct NumPy
+    evaluation of full_compare's word form (abismal.cpp:1105-1122)."""
+    import jax
+
+    from abismal_tpu.kernels.popcount_compare import build_popcount_compare
+
+    rng = np.random.default_rng(11)
+    for g, aw, nw in ((96, 64, 16), (1024, 64, 16), (513, 96, 64)):
+        A = rng.integers(0, 1 << 32, size=(g, aw), dtype=np.uint32)
+        pk = rng.integers(0, 1 << 32, size=(g, nw), dtype=np.uint32)
+        ow = rng.integers(0, 32, size=g).astype(np.int32)
+        sh = (rng.integers(0, 8, size=g).astype(np.uint32)) * np.uint32(4)
+        nwv = rng.integers(0, nw + 1, size=g).astype(np.int32)
+
+        run = build_popcount_compare(aw, nw, interpret=True)
+        got = np.asarray(jax.jit(run)(A, pk, ow, sh, nwv))
+
+        want = np.zeros(g, np.int64)
+        for i in range(g):
+            row = np.roll(A[i], -int(ow[i]))
+            row[aw - int(ow[i]):] = 0
+            for j in range(int(nwv[i])):
+                win = np.uint32(
+                    (int(row[j]) >> int(sh[i]))
+                    | ((int(row[j + 1]) << (31 - int(sh[i]))) << 1)
+                    & 0xFFFFFFFF)
+                want[i] += 8 - bin(int(pk[i, j]) & int(win)).count("1")
+        np.testing.assert_array_equal(got.astype(np.int64), want)
