@@ -33,10 +33,11 @@ BC = 512  # candidates per grid block (sublanes)
 
 def _body(jnp, jax, meta_ref, a_ref, pk_ref, out_ref, nw_words: int):
     A = a_ref[:]  # (BC, AW) u32
-    ow = meta_ref[:, 0:1]  # word offset in [0, 32)
-    sh = meta_ref[:, 1:2].astype(jnp.uint32)  # nibble shift * 4, < 32
-    nw = meta_ref[:, 2:3]  # valid read words
-    for s in (16, 8, 4, 2, 1):
+    m = meta_ref[:]  # (BC, 1): ow | sh << 6 | nw << 11
+    ow = m & 63  # word offset in [0, 64)
+    sh = ((m >> 6) & 31).astype(jnp.uint32)  # nibble shift * 4, < 32
+    nw = m >> 11  # valid read words
+    for s in (32, 16, 8, 4, 2, 1):
         rolled = jnp.concatenate(
             [A[:, s:], jnp.zeros((A.shape[0], s), A.dtype)], axis=1)
         A = jnp.where((ow & s) != 0, rolled, A)
@@ -49,14 +50,14 @@ def _body(jnp, jax, meta_ref, a_ref, pk_ref, out_ref, nw_words: int):
     m = jax.lax.population_count(pk_ref[:] & w).astype(jnp.int32)
     widx = jax.lax.broadcasted_iota(jnp.int32, m.shape, 1)
     d = jnp.sum(jnp.where(widx < nw, 8 - m, 0), axis=1, keepdims=True)
-    out_ref[:] = jnp.broadcast_to(d, out_ref.shape)
+    out_ref[:] = d
 
 
 def build_popcount_compare(aw: int, nw_words: int, interpret: bool = False):
     """Returns f(A, pk, ow, sh, nw) -> d (G,) i32 (trace inside jit).
 
     A:  (G, aw) u32 -- per-candidate overlapped genome row (the XLA gather
-        output; aw = 64, or 96 for lmax > 256).
+        output; aw = 128).
     pk: (G, nw_words) u32 -- packed read words of the candidate's unit.
     ow: (G,) i32 word offset within the row; sh: (G,) u32 nibble shift * 4;
     nw: (G,) i32 valid word count.  G is padded to a BC multiple inside."""
@@ -70,32 +71,32 @@ def build_popcount_compare(aw: int, nw_words: int, interpret: bool = False):
     def run(A, pk, ow, sh, nw):
         g = A.shape[0]
         gp = ((g + BC - 1) // BC) * BC
-        meta = jnp.stack(
-            [ow.astype(jnp.int32),
-             jax.lax.bitcast_convert_type(sh, jnp.int32),
-             nw.astype(jnp.int32)] + 5 * [jnp.zeros_like(ow, jnp.int32)],
-            axis=1)
+        # one packed scalar column: ow | sh << 6 | nw << 11 (an 8-column
+        # stack cost 4 ms/exec in relayouts at gflat = 655k)
+        meta = (ow.astype(jnp.int32)
+                | (jax.lax.bitcast_convert_type(sh, jnp.int32) << 6)
+                | (nw.astype(jnp.int32) << 11))[:, None]
         if gp != g:
             A = jnp.concatenate(
                 [A, jnp.zeros((gp - g, aw), A.dtype)], axis=0)
             pk = jnp.concatenate(
                 [pk, jnp.zeros((gp - g, nw_words), pk.dtype)], axis=0)
             meta = jnp.concatenate(
-                [meta, jnp.zeros((gp - g, 8), jnp.int32)], axis=0)
+                [meta, jnp.zeros((gp - g, 1), jnp.int32)], axis=0)
         out = pl.pallas_call(
             body,
             grid=(gp // BC,),
             in_specs=[
-                pl.BlockSpec((BC, 8), lambda i: (i, 0),
+                pl.BlockSpec((BC, 1), lambda i: (i, 0),
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec((BC, aw), lambda i: (i, 0),
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec((BC, nw_words), lambda i: (i, 0),
                              memory_space=pltpu.VMEM),
             ],
-            out_specs=pl.BlockSpec((BC, 8), lambda i: (i, 0),
+            out_specs=pl.BlockSpec((BC, 1), lambda i: (i, 0),
                                    memory_space=pltpu.VMEM),
-            out_shape=jax.ShapeDtypeStruct((gp, 8), jnp.int32),
+            out_shape=jax.ShapeDtypeStruct((gp, 1), jnp.int32),
             interpret=interpret,
         )(meta, A, pk)
         return out[:g, 0]

@@ -103,7 +103,10 @@ def estimate_cand_budget(counters, max_candidates: int, units, is_ga,
     if n == 0:
         return 64
     mean = tot / n
-    return int(min(8192, max(64, (int(mean * 1.4) + 95) & ~63)))
+    # the pool is GLOBAL over the batch, so the margin only covers batch-
+    # to-batch drift of the mean (not per-unit variance); spills cost an
+    # exact host remap of the tail units, never correctness
+    return int(min(8192, max(64, (int(mean * 1.25) + 63) & ~63)))
 
 _jax = None
 _jnp = None
@@ -148,17 +151,20 @@ def pack_genome_u32(genome_words_u64: np.ndarray, guard: int = 64):
 
 def overlap_rows_u32(genome32: np.ndarray) -> np.ndarray:
     """2x-overlapped aligned row view of the packed genome: row r holds
-    words [32r, 32r+64), so any <= 45-word window lives in ONE row, turning
-    the per-candidate window fetch into a single aligned-row gather (TPU
-    gathers are issue-rate-bound at ~24 ns/row regardless of row width;
-    wide rows amortize that 15x vs element gathers -- measured by
-    tools/microbench_gather.py)."""
+    words [64r, 64r+128), so any <= 65-word window lives in ONE row,
+    turning the per-candidate window fetch into a single aligned-row
+    gather (TPU gathers are issue-rate-bound at ~10-25 ns/row regardless
+    of row width; wide rows amortize that 15x vs element gathers --
+    tools/microbench_gather.py).  Rows are 128 u32 wide: narrower rows
+    leave the (8,128) tile half-used and XLA inserts a whole-table repack
+    copy into EVERY program consuming the parameter (4.6 ms/exec at the
+    1 GB genome; tools/microbench_flatgather.py + trace_ops)."""
     n = genome32.shape[0]
-    rows = (n + 31) // 32 + 2  # +2 guard rows: long-read jobs splice row+2
-    pad = np.zeros(rows * 32 + 64, dtype=np.uint32)
+    rows = (n + 63) // 64 + 2  # +2 guard rows: long-read jobs splice ahead
+    pad = np.zeros(rows * 64 + 128, dtype=np.uint32)
     pad[:n] = genome32
-    a = pad[: rows * 32].reshape(rows, 32)
-    b = pad[32 : rows * 32 + 32].reshape(rows, 32)
+    a = pad[: rows * 64].reshape(rows, 64)
+    b = pad[64 : rows * 64 + 64].reshape(rows, 64)
     return np.concatenate([a, b], axis=1)
 
 
@@ -331,9 +337,9 @@ def _make_core(lmax: int, max_candidates: int, n_index2: int,
     CAND_PER_UNIT = cand_per_unit
     from ..kernels.popcount_compare import build_popcount_compare
 
+    assert n_words + 1 + 63 <= 128, "lmax too long for one genome row"
     compare = build_popcount_compare(
-        96 if n_words + 1 + 31 > 64 else 64, n_words,
-        interpret=jax.default_backend() == "cpu")
+        128, n_words, interpret=jax.default_backend() == "cpu")
 
     def nib_at(genome32, pos):
         word = genome32[(pos >> np.uint32(3)).astype(jnp.int32)]
@@ -417,9 +423,17 @@ def _make_core(lmax: int, max_candidates: int, n_index2: int,
         base3 = n_index2 + is_ga.astype(jnp.int32) * n_index3  # into index_all
         c3_base = is_ga.astype(jnp.int32) * (counter3.shape[0] // 2)
 
-        # --- bucket ranges for all cells, fully parallel ---
+        # --- bucket ranges for all cells, fully parallel: ONE pair-row
+        # gather per table covers BOTH phases (the specific offsets are a
+        # prefix of the sensitive ones, so spec ranges are a slice of the
+        # same gather; 44-48 bp reads, whose specific limit exceeds the
+        # sensitive one, are always device-fallback so the clipped slice
+        # never reaches output) ---
+        assert o_spec <= o_sens, "lmax too small for the shared gather"
         iof = jnp.arange(o_spec, dtype=jnp.int32)[None, :]
         act_sp = iof < specific_lim[:, None]
+        jof = jnp.arange(o_sens, dtype=jnp.int32)[None, :]
+        act_sn = (jof < sens_lim[:, None]) & (lens[:, None] > 0)
         if tp:
             k2r = k2_all[:, :o_spec].astype(jnp.int32)
             k3r = k3_all[:, :o_spec].astype(jnp.int32)
@@ -427,15 +441,19 @@ def _make_core(lmax: int, max_candidates: int, n_index2: int,
             act3_sp = act_sp & (k3r >= lo3u[:, None]) & (k3r < hi3u[:, None])
         else:
             act2_sp = act3_sp = act_sp
-        k2s = jnp.where(act2_sp, k2_all[:, :o_spec], 0).astype(jnp.int32)
-        p2sp = counter2[k2s]  # (B, o_spec, 2) (start, end) pair rows
-        s2 = jnp.where(act2_sp, p2sp[..., 0], 0)
-        e2 = jnp.where(act2_sp, p2sp[..., 1], 0)
-        k3s = (jnp.where(act3_sp, k3_all[:, :o_spec], 0).astype(jnp.int32)
+        # gather mask: sizes must be GLOBAL on every shard (the sensitive
+        # fold rule below compares across tables), so the gather is not
+        # masked by shard ownership -- only the extracted values are
+        gmask = act_sn | jnp.pad(act_sp, ((0, 0), (0, o_sens - o_spec)))
+        k2n = jnp.where(gmask, k2_all, 0).astype(jnp.int32)
+        p2 = counter2[k2n]  # (B, o_sens, 2) (start, end) pair rows
+        k3n = (jnp.where(gmask, k3_all, 0).astype(jnp.int32)
                + c3_base[:, None])
-        p3sp = counter3[k3s]
-        s3 = jnp.where(act3_sp, p3sp[..., 0], 0)
-        e3 = jnp.where(act3_sp, p3sp[..., 1], 0)
+        p3 = counter3[k3n]
+        s2 = jnp.where(act2_sp, p2[:, :o_spec, 0], 0)
+        e2 = jnp.where(act2_sp, p2[:, :o_spec, 1], 0)
+        s3 = jnp.where(act3_sp, p3[:, :o_spec, 0], 0)
+        e3 = jnp.where(act3_sp, p3[:, :o_spec, 1], 0)
         if tp:
             # rebase into this shard's local position lists (masked cells
             # collapse to the empty range [0, 0))
@@ -552,12 +570,10 @@ def _make_core(lmax: int, max_candidates: int, n_index2: int,
             one overlapped-row gather + word/nibble alignment + packed
             per-nibble class transform."""
             w0 = g0 >> np.uint32(3)
-            row = (w0 >> np.uint32(5)).astype(jnp.int32)
-            A = genome2o[row]
-            if QW + 1 + 31 > 64:  # lmax > 256: splice the next row
-                A = jnp.concatenate([A, genome2o[row + 2][:, :32]], axis=1)
-            ow = (w0 & np.uint32(31)).astype(jnp.int32)
-            for s_ in (16, 8, 4, 2, 1):
+            row = (w0 >> np.uint32(6)).astype(jnp.int32)
+            A = genome2o[row]  # 128-word rows: 63 + QW+1 <= 128 always
+            ow = (w0 & np.uint32(63)).astype(jnp.int32)
+            for s_ in (32, 16, 8, 4, 2, 1):
                 rolled = jnp.concatenate(
                     [A[:, s_:], jnp.zeros((A.shape[0], s_), jnp.uint32)],
                     axis=1)
@@ -638,8 +654,14 @@ def _make_core(lmax: int, max_candidates: int, n_index2: int,
                 bU = jnp.where(cU & ~gU, midU, bU)
                 return aL, bL, aU, bU
 
-            Lb, _, Ub, _ = jax.lax.fori_loop(
-                0, ext_iters, bis_body, (lo0, hi0, lo0, hi0))
+            if os.environ.get("ABISMAL_TPU_EXT_UNROLL"):
+                st = (lo0, hi0, lo0, hi0)
+                for _i in range(ext_iters):
+                    st = bis_body(_i, st)
+                Lb, _, Ub, _ = st
+            else:
+                Lb, _, Ub, _ = jax.lax.fori_loop(
+                    0, ext_iters, bis_body, (lo0, hi0, lo0, hi0))
 
             # LCP window: EXT_W positions on each side of [L, U)
             wi = jnp.arange(EXT_W, dtype=jnp.int32)
@@ -717,9 +739,13 @@ def _make_core(lmax: int, max_candidates: int, n_index2: int,
         check3_sp = act3_sp & ((d3 <= max_candidates)
                                | (l3 >= specific_len[:, None]))
 
-        # --- sensitive-phase cells (no extension) ---
-        jof = jnp.arange(o_sens, dtype=jnp.int32)[None, :]
-        act_sn = (jof < sens_lim[:, None]) & (lens[:, None] > 0)
+        # --- sensitive-phase cells (no extension): ranges come from the
+        # shared pair-row gather above (p2/p3).  Bucket SIZES are masked
+        # by act_sn only (they must be the GLOBAL sizes on every shard:
+        # the 2-vs-3-letter fold rule below compares across tables, and
+        # in tp mode a shard can own the 2-letter bucket without owning
+        # the 3-letter one); list OFFSETS are additionally masked by
+        # shard ownership and rebased ---
         if tp:
             k2rn = k2_all.astype(jnp.int32)
             k3rn = k3_all.astype(jnp.int32)
@@ -728,21 +754,11 @@ def _make_core(lmax: int, max_candidates: int, n_index2: int,
                 k3rn < hi3u[:, None])
         else:
             act2_sn = act3_sn = act_sn
-        # bucket SIZES are masked by act_sn only (they must be the GLOBAL
-        # sizes on every shard: the 2-vs-3-letter fold rule below compares
-        # across tables, and in tp mode a shard can own the 2-letter bucket
-        # without owning the 3-letter one); list OFFSETS are additionally
-        # masked by shard ownership and rebased
-        k2n = jnp.where(act_sn, k2_all, 0).astype(jnp.int32)
-        p2sn = counter2[k2n]  # (B, o_sens, 2) pair rows
-        s2n_g = jnp.where(act_sn, p2sn[..., 0], 0)
-        e2n_g = jnp.where(act_sn, p2sn[..., 1], 0)
+        s2n_g = jnp.where(act_sn, p2[..., 0], 0)
+        e2n_g = jnp.where(act_sn, p2[..., 1], 0)
         d2n = e2n_g - s2n_g
-        k3n = (jnp.where(act_sn, k3_all, 0).astype(jnp.int32)
-               + c3_base[:, None])
-        p3sn = counter3[k3n]
-        s3n_g = jnp.where(act_sn, p3sn[..., 0], 0)
-        e3n_g = jnp.where(act_sn, p3sn[..., 1], 0)
+        s3n_g = jnp.where(act_sn, p3[..., 0], 0)
+        e3n_g = jnp.where(act_sn, p3[..., 1], 0)
         d3n = e3n_g - s3n_g
         if tp:
             s2n = jnp.where(act2_sn, s2n_g - pb2, 0)
@@ -838,12 +854,8 @@ def _make_core(lmax: int, max_candidates: int, n_index2: int,
         # top cost of the program (28 us/unit at a 128 Mb index)
         w = (pos >> np.uint32(3)).astype(jnp.int32)
         sh = (pos & np.uint32(7)) * np.uint32(4)
-        A = genome2o[w >> 5]
-        if n_words + 1 + 31 > 64:
-            # lmax > 256: one 64-word row can't cover worst-case offset +
-            # window; splice the next 32 words from row (w>>5)+2
-            A = jnp.concatenate([A, genome2o[(w >> 5) + 2][:, :32]], axis=1)
-        ow = w & 31
+        A = genome2o[w >> 6]  # 128-word rows: 63 + 65 words <= 128 always
+        ow = w & 63
         d = compare(A, packed_rows, ow, sh, nw_of)
 
         return dict(pos=pos, d=d, b_of=b_of, cell_of=cell_of, slot=slot,
@@ -1051,52 +1063,83 @@ def build_stage12(lmax: int, max_candidates: int, n_index2: int,
 
         # --- exact-match tracking (update_exact_match,
         # abismal.cpp:347-355): first exact event in discovery order;
-        # ambiguous iff any exact event at a different (pos, flags) ---
-        gidx = jnp.arange(ncand, dtype=jnp.int32)
-        first_ex = jnp.full(R, ncand, jnp.int32).at[r_of].min(
-            jnp.where(is_ex, gidx, ncand))
-        has_ex = first_ex < ncand
-        fe = jnp.minimum(first_ex, ncand - 1)
-        e_pos0 = pos[fe]
-        e_s0 = scode_cand[fe]
-        ekey = jnp.stack(
-            [jax.lax.bitcast_convert_type(e_pos0, jnp.int32), e_s0],
-            axis=1)[r_of]  # one row gather for both first-exact fields
-        ex_mism = is_ex & (
-            (pos != jax.lax.bitcast_convert_type(ekey[:, 0], jnp.uint32))
-            | (scode_cand != ekey[:, 1]))
-        ex_ambig = jnp.zeros(R, bool).at[r_of].max(ex_mism)
+        # ambiguous iff any exact event at a different (pos, flags).
+        # Exact events are sparse (~3/read on the bench workload), so they
+        # compact into a pool and every reduction runs at pool size --
+        # the direct (gflat -> R) scatter-min/max formulation cost 16
+        # ms/exec in scatter issue at gflat = 655k.  Reads whose exact
+        # events spill the pool fall back to the exact host path. ---
+        span = jnp.sum(unit_total.reshape(R, per), axis=1)
+        rstart = jnp.cumsum(span) - span
+        rend = jnp.minimum(rstart + span, ncand)
+        rst_c = jnp.minimum(rstart, ncand)
+        EXP = int(os.environ.get("ABISMAL_TPU_EXACT_POOL",
+                                 max(1024, 8 * R)))
+        ex_at = jnp.concatenate(
+            [jnp.zeros(1, jnp.int32), jnp.cumsum(is_ex.astype(jnp.int32))])
+        ex_exc = ex_at[:-1]  # exclusive prefix per candidate
+        # reads whose exact events ran past the pool
+        ex_over = ex_at[rend] > jnp.maximum(EXP, ex_at[rst_c])
 
         # --- non-exact candidate compaction into (R, K) slots ---
         nx = nonex.astype(jnp.int32)
         c_inc = jnp.cumsum(nx)
         c_exc = c_inc - nx
         c_at = jnp.concatenate([c_exc, c_inc[-1:]])
-        span = jnp.sum(unit_total.reshape(R, per), axis=1)
-        rstart = jnp.cumsum(span) - span
-        base = c_at[jnp.minimum(rstart, ncand)]
-        rend = jnp.minimum(rstart + span, ncand)
+        base = c_at[rst_c]
         n_nonex = c_at[rend] - base
         heap_fb = n_nonex > 48  # 49 inserts fill the 50-slot heap
-        slot_r = c_exc - base[r_of]
+        # propagate each read's base along its candidate span with an
+        # R-update mark + running max (base is non-decreasing), not a
+        # per-candidate gather
+        base_of = jax.lax.associative_scan(
+            jnp.maximum,
+            jnp.zeros(ncand + 1, jnp.int32).at[rst_c].max(base)[:ncand])
+        slot_r = c_exc - base_of
         keep = nonex & (slot_r < K)
-        dest = jnp.where(keep, r_of * K + jnp.minimum(slot_r, K - 1), R * K)
-        # ONE row scatter carrying (pos, scode << 10 | d): duplicate
-        # (pos, scode) slots provably share d (d is a function of
-        # (unit, pos)), so packing d under the sort key cannot reorder
+        # ONE row scatter serves BOTH compactions (they are disjoint):
+        # non-exact slots land in [0, R*K), exact-pool slots in
+        # [R*K, R*K+EXP), carrying (pos, scode << 10 | d, read).
+        # Duplicate (pos, scode) slots provably share d (d is a function
+        # of (unit, pos)), so packing d under the sort key cannot reorder.
+        NTOT = R * K + EXP
+        dest = jnp.where(
+            keep, r_of * K + jnp.minimum(slot_r, K - 1),
+            jnp.where(is_ex & (ex_exc < EXP), R * K + ex_exc, NTOT))
         scd = (scode_cand << 10) | d
         fillK = jnp.concatenate(
-            [jnp.full((R * K + 1, 1), -1, jnp.int32),  # -1 == POS_EMPTY
-             jnp.full((R * K + 1, 1), 0x7FFFFFFF, jnp.int32)], axis=1)
-        slotsK = fillK.at[dest].set(jnp.stack(
-            [jax.lax.bitcast_convert_type(pos, jnp.int32), scd], axis=1))
+            [jnp.full((NTOT + 1, 1), -1, jnp.int32),  # -1 == POS_EMPTY
+             jnp.full((NTOT + 1, 1), 0x7FFFFFFF, jnp.int32),
+             jnp.full((NTOT + 1, 1), R, jnp.int32)], axis=1)
+        slotsA = fillK.at[dest].set(jnp.stack(
+            [jax.lax.bitcast_convert_type(pos, jnp.int32), scd, r_of],
+            axis=1))
+
+        # exact pool reductions (EXP-sized): pool slots ascend with
+        # candidate index, so first-in-discovery-order = min slot per read
+        xpool = slotsA[R * K : NTOT]
+        xpos = jax.lax.bitcast_convert_type(xpool[:, 0], jnp.uint32)
+        xsc = xpool[:, 1] >> 10
+        xr = xpool[:, 2]  # fill = R = drop row
+        xv = xr < R
+        pslot = jnp.arange(EXP, dtype=jnp.int32)
+        first_slot = jnp.full(R + 1, EXP, jnp.int32).at[xr].min(
+            jnp.where(xv, pslot, EXP))[:R]
+        has_ex = first_slot < EXP
+        fs = jnp.minimum(first_slot, EXP - 1)
+        e_pos0 = xpos[fs]
+        e_s0 = xsc[fs]
+        xr_c = jnp.minimum(xr, R - 1)
+        mism = xv & ((xpos != e_pos0[xr_c]) | (xsc != e_s0[xr_c]))
+        ex_ambig = jnp.zeros(R + 1, bool).at[xr].max(mism)[:R]
+
         # dedup-sort by (pos, flags) (prepare_for_alignments,
         # abismal.cpp:429-439); empty slots sort last (pos = u32 max
         # exceeds any genome position)
         posKi, scdK = jax.lax.sort(
             (jax.lax.bitcast_convert_type(
-                slotsK[: R * K, 0], jnp.uint32).reshape(R, K),
-             slotsK[: R * K, 1].reshape(R, K)), dimension=1, num_keys=2)
+                slotsA[: R * K, 0], jnp.uint32).reshape(R, K),
+             slotsA[: R * K, 1].reshape(R, K)), dimension=1, num_keys=2)
         posK = posKi
         sK = scdK >> 10
         dK = jnp.where(scdK == 0x7FFFFFFF, 0x7FFFFFFF, scdK & 1023)
@@ -1155,20 +1198,20 @@ def build_stage12(lmax: int, max_candidates: int, n_index2: int,
         q = jnp.stack([rows & np.uint8(0xF), rows >> np.uint8(4)],
                       axis=2).reshape(J, -1)
         g0 = jpos + ((jbw - 1) // 2).astype(jnp.uint32) - np.uint32(QOFF)
-        grow = (g0 >> np.uint32(8)).astype(jnp.int32)
-        A = genome2o[grow]  # (J, 64) u32 = 512 nibbles from 256*grow
-        if WW3 + 255 > 512:
-            # long reads (lmax > 197): one row doesn't cover worst-case
-            # offset + window; splice the next 256 nibbles from the first
-            # half of row grow+2 (overlap stride 256 nibbles/row)
-            A = jnp.concatenate([A, genome2o[grow + 2][:, :32]], axis=1)
+        grow = (g0 >> np.uint32(9)).astype(jnp.int32)
+        A = genome2o[grow]  # (J, 128) u32 = 1024 nibbles from 512*grow
+        if WW3 + 511 > 1024:
+            # long reads (lmax > 453): one row doesn't cover worst-case
+            # offset + window; splice the next 512 nibbles from the first
+            # half of row grow+2 (overlap stride 512 nibbles/row)
+            A = jnp.concatenate([A, genome2o[grow + 2][:, :64]], axis=1)
         nwords = A.shape[1]
         nshift = (np.uint32(4)
                   * jnp.arange(8, dtype=jnp.uint32))[None, None, :]
         nib = ((A[:, :, None] >> nshift)
                & np.uint32(0xF)).astype(jnp.uint8).reshape(J, nwords * 8)
-        off = (g0 & np.uint32(255)).astype(jnp.int32)
-        for s_ in (128, 64, 32, 16, 8, 4, 2, 1):
+        off = (g0 & np.uint32(511)).astype(jnp.int32)
+        for s_ in (256, 128, 64, 32, 16, 8, 4, 2, 1):
             rolled = jnp.concatenate(
                 [nib[:, s_:], jnp.zeros((J, s_), jnp.uint8)], axis=1)
             nib = jnp.where((off & s_)[:, None] != 0, rolled, nib)
@@ -1211,7 +1254,7 @@ def build_stage12(lmax: int, max_candidates: int, n_index2: int,
 
         # --- per-read records ---
         unit_fb = jnp.any(overflow.reshape(R, per), axis=1)
-        fb = (unit_fb | heap_fb | job_fb | bw_over
+        fb = (unit_fb | heap_fb | job_fb | bw_over | ex_over
               | ((rlen > 0) & (rlen < 49)))
         aligned = (~has_ex) & (M > 0)
         status = jnp.where(fb, REC_FALLBACK,
@@ -1309,11 +1352,15 @@ def build_stage12pe(lmax: int, max_candidates: int, n_index2: int,
         c_inc = jnp.cumsum(acc)
         c_exc = c_inc - acc
         c_at = jnp.concatenate([c_exc, c_inc[-1:]])
-        base = c_at[jnp.minimum(unit_start, ncand)]
+        ust_c = jnp.minimum(unit_start, ncand)
+        base = c_at[ust_c]
         uend_at = jnp.minimum(unit_start + unit_total, ncand)
         n_acc = c_at[uend_at] - base
         heap_fb = n_acc > K - 1  # insert #32 fills the heap
-        slot_u = c_exc - base[b_of]
+        base_of = jax.lax.associative_scan(
+            jnp.maximum,
+            jnp.zeros(ncand + 1, jnp.int32).at[ust_c].max(base)[:ncand])
+        slot_u = c_exc - base_of
         keep = gate & (slot_u < K - 1)
         dest = jnp.where(keep, b_of * K + jnp.minimum(slot_u, K - 1), B * K)
         # ONE row scatter for (pos, d)
@@ -1357,17 +1404,17 @@ def build_stage12pe(lmax: int, max_candidates: int, n_index2: int,
         q = jnp.stack([rows & np.uint8(0xF), rows >> np.uint8(4)],
                       axis=2).reshape(J, -1)
         g0 = jpos + ((jbw - 1) // 2).astype(jnp.uint32) - np.uint32(QOFF)
-        grow = (g0 >> np.uint32(8)).astype(jnp.int32)
-        A = genome2o[grow]
-        if WW3 + 255 > 512:
-            A = jnp.concatenate([A, genome2o[grow + 2][:, :32]], axis=1)
+        grow = (g0 >> np.uint32(9)).astype(jnp.int32)
+        A = genome2o[grow]  # 128-word rows = 1024 nibbles from 512*grow
+        if WW3 + 511 > 1024:
+            A = jnp.concatenate([A, genome2o[grow + 2][:, :64]], axis=1)
         nwords = A.shape[1]
         nshift = (np.uint32(4)
                   * jnp.arange(8, dtype=jnp.uint32))[None, None, :]
         nib = ((A[:, :, None] >> nshift)
                & np.uint32(0xF)).astype(jnp.uint8).reshape(J, nwords * 8)
-        off = (g0 & np.uint32(255)).astype(jnp.int32)
-        for s_ in (128, 64, 32, 16, 8, 4, 2, 1):
+        off = (g0 & np.uint32(511)).astype(jnp.int32)
+        for s_ in (256, 128, 64, 32, 16, 8, 4, 2, 1):
             rolled = jnp.concatenate(
                 [nib[:, s_:], jnp.zeros((J, s_), jnp.uint8)], axis=1)
             nib = jnp.where((off & s_)[:, None] != 0, rolled, nib)

@@ -62,6 +62,8 @@ def load_workload(unit_batch):
     lens_r = lens.reshape(rpc, per).max(axis=1)
     max_diffs_r = (0.1 * lens_r.astype(np.float64)).astype(np.int32)
     is_ga = np.tile(is_ga_pat, rpc)
+    budget = eng._budget_for(units, is_ga_pat, per)
+    print(f"informed cand budget: {budget}/unit", flush=True)
     return eng, per, (preads, lens, is_ga, scode, max_diffs_r)
 
 
@@ -81,6 +83,7 @@ def main():
     args = tuple(jax.device_put(a) for a in args_np)
     prog, _ = build_stage12(eng.lmax, eng.dev.max_candidates,
                             eng.dev.n_index2, eng.dev.n_index3, per,
+                            cand_per_unit=eng.cand_budget,
                             ext_iters=eng.dev.ext_iters)
     t0 = time.perf_counter()
     np.asarray(prog(*tables, *args))
@@ -127,9 +130,27 @@ def main():
           f"{[pid_names.get(p, p) for p in (dev_pids or pid_names)]}")
     print(f"total device op time: {total/1e3/reps:.2f} ms/exec over "
           f"{reps} execs\n")
+
+    # map op names to source lines via the optimized HLO
+    import re
+
+    srcline = {}
+    try:
+        txt = prog.lower(*tables, *args).compile().as_text()
+        pat = re.compile(
+            r"%(\S+?) = (\S+?) [a-z-]+\(.*?source_file=\"([^\"]+)\""
+            r" source_line=(\d+)")
+        for m in pat.finditer(txt):
+            srcline[m.group(1)] = (m.group(3).split("/")[-1]
+                                   + ":" + m.group(4), m.group(2))
+    except Exception as e:  # HLO text may be unavailable on some backends
+        print(f"(no HLO line map: {e})")
+
     print(f"{'us/exec':>12}  {'pct':>5}  op")
     for name, dur in sorted(tot.items(), key=lambda kv: -kv[1])[:top_n]:
-        print(f"{dur/reps:12.1f}  {100*dur/total:5.1f}  {name[:100]}")
+        line, shape = srcline.get(name, ("", ""))
+        print(f"{dur/reps:12.1f}  {100*dur/total:5.1f}  {name[:60]}"
+              f"  {line}  {shape[:40]}")
 
 
 if __name__ == "__main__":
