@@ -64,6 +64,8 @@ class NativeMappingEngine:
         self.cl = index.cl
         self.n_threads = max(1, n_threads)
         self.allow_ambig = allow_ambig
+        self.pe_min_dist = int(pe_min_dist)
+        self.pe_max_dist = int(pe_max_dist)
         # pinned arrays: the native context aliases their memory
         self._nib = np.ascontiguousarray(
             unpack_nibbles_u64(index.genome_words, index.genome_size))
@@ -143,7 +145,7 @@ class NativeMappingEngine:
                 setattr(dst, f, getattr(dst, f) + int(st[6 * blk + i]))
 
     def _call_pe_slots(self, reads1, reads2, a_rich_mode, random_pbat,
-                       stats, out, sl_pos, sl_ds, sl_cnt):
+                       stats, out, sl_pos, sl_ds, sl_cnt, mate=None):
         """PE finalize from device stage-1+2 candidate slots (pipeline.py
         build_stage12pe): per-unit prescored candidate lists replace the
         event stream and the host score pass; units with cnt < 0 re-seed
@@ -162,12 +164,16 @@ class NativeMappingEngine:
         sl_pos = np.ascontiguousarray(sl_pos, dtype=np.uint32)
         sl_ds = np.ascontiguousarray(sl_ds, dtype=np.int32)
         sl_cnt = np.ascontiguousarray(sl_cnt, dtype=np.int32)
+        if mate is not None:
+            mate = np.ascontiguousarray(mate, dtype=np.int32)
         st = np.zeros(18, dtype=np.int64)
         n = self.lib.engine_map_pe_batch_slots(
             self._ctx, _ptr(r1b), _ptr(r1o), _ptr(n1b), _ptr(n1o),
             _ptr(r2b), _ptr(r2o), _ptr(n2b), _ptr(n2o),
             len(reads1), int(a_rich_mode), int(random_pbat),
             _ptr(sl_pos), _ptr(sl_ds), _ptr(sl_cnt), sl_pos.shape[1],
+            _ptr(mate) if mate is not None else None,
+            mate.shape[1] if mate is not None else 0,
             self.n_threads, _ptr(st))
         out.write(ctypes.string_at(self.lib.engine_out_ptr(self._ctx),
                                    n).decode())

@@ -1281,7 +1281,8 @@ _stage12pe_memo = {}
 
 
 def build_stage12pe(lmax: int, max_candidates: int, n_index2: int,
-                    n_index3: int, cand_per_unit: int | None = None,
+                    n_index3: int, per: int = 4,
+                    cand_per_unit: int | None = None,
                     k_slots: int = 32, jobs_per_unit: int = 8,
                     interpret: bool = False, ext_iters: int = 31):
     """Fused device stage-1+2 for paired-end mapping: ONE jitted program
@@ -1304,10 +1305,13 @@ def build_stage12pe(lmax: int, max_candidates: int, n_index2: int,
     beyond the Pallas kernel's BW_MAX.
 
     stage12pe(genome32, genome2o, counter2, counter3, index_all, pnib,
-              lens, is_ga, max_diffs_u) ->
-      pos (B, K) u32   candidate genome positions, discovery order
-      ds  (B, K) i32   (diffs << 16) | (score & 0xFFFF)
-      cnt (B,)   i32   accepted count, or -1 => native-seeding fallback
+              lens, is_ga, max_diffs_u, pe_dist) ->
+      pos  (B, K) u32    candidate genome positions, discovery order
+      ds   (B, K) i32    (diffs << 16) | (score & 0xFFFF)
+      cnt  (B,)   i32    accepted count, or -1 => native-seeding fallback
+      mate (B/per, O*10) i32  per-orientation local mating sweeps (the
+           device-resident best_pair; see the inline exactness notes)
+    pe_dist: (2,) i32 = (-l, -L) concordance window bounds.
     """
     from ..kernels.banded_align import BW_MAX, QOFF, build_banded_scorer
 
@@ -1315,8 +1319,8 @@ def build_stage12pe(lmax: int, max_candidates: int, n_index2: int,
                                          lmax)
     jobs_per_unit = int(os.environ.get("ABISMAL_TPU_JOBS_PER_UNIT",
                                        jobs_per_unit))
-    memo_key = (lmax, max_candidates, n_index2, n_index3, cand_per_unit,
-                k_slots, jobs_per_unit, interpret, ext_iters)
+    memo_key = (lmax, max_candidates, n_index2, n_index3, per,
+                cand_per_unit, k_slots, jobs_per_unit, interpret, ext_iters)
     if memo_key in _stage12pe_memo:
         return _stage12pe_memo[memo_key]
     jax, jnp = _jm()
@@ -1327,7 +1331,7 @@ def build_stage12pe(lmax: int, max_candidates: int, n_index2: int,
     WW3 = lmax + QOFF
 
     def stage12pe(genome32, genome2o, counter2, counter3, index_all,
-                  pnib, lens, is_ga, max_diffs_u):
+                  pnib, lens, is_ga, max_diffs_u, pe_dist):
         B = pnib.shape[0]
         J = ((jobs_per_unit * B + 127) // 128) * 128
         good_cut = lens // 10                 # == readlen / 10
@@ -1421,16 +1425,103 @@ def build_stage12pe(lmax: int, max_candidates: int, n_index2: int,
         win = nib[:, :WW3]
         scores_j = scorer(q, win, jbw[:, None], jqsz[:, None])[:, 0]
 
-        scr_c = jnp.where(job_ok, scores_j[jnp.minimum(jexc, J - 1)], 0)
-        scrK = jnp.zeros(B * K + 1, jnp.int32).at[dest].set(scr_c)
+        # slot (u, k) holds the unit's k-th kept candidate, whose job rank
+        # is the unit's kept-prefix base + k: ONE (B, K) gather replaces a
+        # (gflat -> B*K) scatter of scores
+        kbase = k_atx[ust_c]
+        kidx = jnp.arange(K, dtype=jnp.int32)[None, :]
+        slot_live = kidx < jnp.minimum(n_acc, K - 1)[:, None]
+        jrank = jnp.minimum(kbase[:, None] + kidx, J - 1)
+        scrK = jnp.where(slot_live & (jrank < J), scores_j[jrank], 0)
 
         fb = overflow | heap_fb | bw_fb | job_fb | ((lens > 0)
                                                     & (lens < 49))
         cnt = jnp.where(fb, -1, n_acc)
-        ds = (dKf[: B * K].reshape(B, K) << 16) | (
-            scrK[: B * K].reshape(B, K) & 0xFFFF)
-        return (jax.lax.bitcast_convert_type(
-            posK[: B * K].reshape(B, K), jnp.int32), ds, cnt)
+        posKm = posK.reshape(B, K)
+        dKm = dKf[: B * K].reshape(B, K)
+        ds = (dKm << 16) | (scrK & 0xFFFF)
+
+        # --- device mating sweep (best_pair, abismal.cpp:1722-1831):
+        # per (pair, orientation), the LOCAL sweep result over the
+        # pos-sorted deduped slot grids.  The host replays the tiny
+        # orientation loop with full sequential state (cross-orientation
+        # updates compare against POST-traceback edit distances and a
+        # discordant-after-clip winner RESETS the state, both of which
+        # need the winner's traceback), so the device returns each
+        # orientation's local best independently:
+        #   [has_pairs, scr, pos1, pos2, d1, d2, scr1_stale, scr2,
+        #    eq_after, 0] x O orientations.
+        # Exact within an orientation: the winner is the first pair by
+        # (scr desc, diff-sum asc, traversal order asc) -- updates are
+        # strict improvements -- eq_after reproduces the tie->ambig rule,
+        # and scr1_stale reproduces the reference's memoization quirk
+        # (the last COMPUTED end-1 score at the winning update,
+        # abismal.cpp:1793-1799) from the first-window/zero-score
+        # computation pattern.
+        Rp = B // per
+        O = per // 2
+        BIGU = np.uint32(0xFFFFFFFF)
+        posS, dS, sS = jax.lax.sort(
+            (jnp.where(slot_live, posKm, BIGU), dKm, scrK),
+            dimension=1, num_keys=1)
+        dupS = jnp.concatenate(
+            [jnp.zeros((B, 1), bool), posS[:, 1:] == posS[:, :-1]], axis=1)
+        vS = (posS != BIGU) & ~dupS
+        posP = posS.reshape(Rp, per, K)
+        dP = dS.reshape(Rp, per, K)
+        sP = sS.reshape(Rp, per, K)
+        vP = vS.reshape(Rp, per, K)
+        lensP = lens.reshape(Rp, per)
+        iK = jnp.arange(K, dtype=jnp.int32)
+        mins, maxs = pe_dist[0].astype(jnp.uint32), pe_dist[1].astype(
+            jnp.uint32)
+        recs = []
+        for o in range(O):
+            p1, d1, s1, v1 = (posP[:, 2 * o], dP[:, 2 * o], sP[:, 2 * o],
+                              vP[:, 2 * o])
+            p2, d2, s2, v2 = (posP[:, 2 * o + 1], dP[:, 2 * o + 1],
+                              sP[:, 2 * o + 1], vP[:, 2 * o + 1])
+            lim = p2 + lensP[:, 2 * o + 1, None].astype(jnp.uint32)  # (Rp,K)
+            # grid axes: i over res1 slots (axis 1), j over res2 (axis 2)
+            limj = lim[:, None, :]
+            p1i = p1[:, :, None]
+            conc = (v1[:, :, None] & v2[:, None, :]
+                    & (p1i + mins <= limj) & (p1i + maxs >= limj))
+            scrP = s1[:, :, None] + s2[:, None, :]
+            sdP = d1[:, :, None] + d2[:, None, :]
+            # traversal order: j2 (res2) outer ascending, j1 inner
+            ordg = (iK[None, None, :] * K + iK[None, :, None])
+            M = jnp.max(jnp.where(conc, scrP, -1), axis=(1, 2))
+            isM = conc & (scrP == M[:, None, None])
+            key2 = sdP * (K * K) + ordg
+            k2m = jnp.min(jnp.where(isM, key2, 0x3FFFFFFF), axis=(1, 2))
+            sd_w = k2m // (K * K)
+            ord_w = k2m % (K * K)
+            j_w = jnp.minimum(ord_w // K, K - 1)[:, None]
+            i_w = jnp.minimum(ord_w % K, K - 1)[:, None]
+            eq_after = jnp.any(isM & (sdP == sd_w[:, None, None])
+                               & (ordg > ord_w[:, None, None]), axis=(1, 2))
+            # stale end-1 score: last COMPUTED (first window for its j1,
+            # or zero-score recompute) at or before the winning update
+            firstj = jnp.min(jnp.where(conc, iK[None, None, :], K), axis=2)
+            computed = conc & ((iK[None, None, :] == firstj[:, :, None])
+                               | (s1[:, :, None] == 0))
+            cord = jnp.where(computed & (ordg <= ord_w[:, None, None]),
+                             ordg, -1)
+            cmax = jnp.max(cord, axis=(1, 2))
+            i_c = jnp.minimum(jnp.maximum(cmax, 0) % K, K - 1)[:, None]
+            ta = lambda a, idx: jnp.take_along_axis(a, idx, axis=1)[:, 0]
+            recs.append(jnp.stack([
+                (M >= 0).astype(jnp.int32), M,
+                jax.lax.bitcast_convert_type(ta(p1, i_w), jnp.int32),
+                jax.lax.bitcast_convert_type(ta(p2, j_w), jnp.int32),
+                ta(d1, i_w), ta(d2, j_w), ta(s1, i_c), ta(s2, j_w),
+                eq_after.astype(jnp.int32), jnp.zeros(Rp, jnp.int32),
+            ], axis=1))
+        mate = jnp.concatenate(recs, axis=1)  # (Rp, O*10)
+
+        return (jax.lax.bitcast_convert_type(posKm, jnp.int32), ds, cnt,
+                mate)
 
     result = (jax.jit(stage12pe), o_spec)
     _stage12pe_memo[memo_key] = result
@@ -2033,8 +2124,8 @@ class TpuNativeEngine:
             self._stage12_progs[key] = prog
         return prog
 
-    def _stage12pe_prog(self, cand_budget=None):
-        key = ("pe", cand_budget)
+    def _stage12pe_prog(self, per, cand_budget=None):
+        key = ("pe", per, cand_budget)
         prog = self._stage12_progs.get(key)
         if prog is None:
             import jax
@@ -2042,7 +2133,7 @@ class TpuNativeEngine:
             interp = jax.default_backend() == "cpu"
             prog, _ = build_stage12pe(self.lmax, self.dev.max_candidates,
                                       self.dev.n_index2, self.dev.n_index3,
-                                      cand_per_unit=cand_budget,
+                                      per=per, cand_per_unit=cand_budget,
                                       interpret=interp,
                                       ext_iters=self.dev.ext_iters)
             if self.mesh is not None:
@@ -2205,7 +2296,10 @@ class TpuNativeEngine:
                                                      a_rich_mode,
                                                      random_pbat)
         is_ga_pat = self._pe_is_ga_pattern(a_rich_mode, random_pbat)
-        prog = self._stage12pe_prog(self._budget_for(units, is_ga_pat, per))
+        prog = self._stage12pe_prog(
+            per, self._budget_for(units, is_ga_pat, per))
+        pe_dist = np.array([self.native.pe_min_dist, self.native.pe_max_dist],
+                           dtype=np.int32)
         q = per * self.n_shards
         B = max(q, self.unit_batch - (self.unit_batch % q))
         ppc = B // per  # pairs per chunk
@@ -2223,17 +2317,17 @@ class TpuNativeEngine:
                            * lens.astype(np.float64)).astype(np.int32)
             is_ga = np.tile(is_ga_pat, B // per)
             if self.mesh is not None:
-                posK, ds, cnt, _fb = prog(self._tables, preads, lens,
-                                          is_ga, max_diffs_u)
+                posK, ds, cnt, mate, _fb = prog(self._tables, preads, lens,
+                                                is_ga, max_diffs_u, pe_dist)
             else:
-                posK, ds, cnt = prog(*self.dev.tables(), preads, lens,
-                                     is_ga, max_diffs_u)
-            for a in (posK, ds, cnt):
+                posK, ds, cnt, mate = prog(*self.dev.tables(), preads, lens,
+                                           is_ga, max_diffs_u, pe_dist)
+            for a in (posK, ds, cnt, mate):
                 try:
                     a.copy_to_host_async()
                 except (AttributeError, RuntimeError):
                     pass
-            pending.append((start, n, posK, ds, cnt))
+            pending.append((start, n, posK, ds, cnt, mate))
         return (reads1, reads2, a_rich_mode, random_pbat, per, pending,
                 oversized)
 
@@ -2241,15 +2335,20 @@ class TpuNativeEngine:
         reads1, reads2, arm, rp, per, pending, oversized = handle
         t1 = time.perf_counter()
         n_units = per * len(reads1)
+        n_pairs = len(reads1)
         K = 32
+        O10 = (per // 2) * 10
         pos_all = np.zeros((max(n_units, 1), K), dtype=np.uint32)
         ds_all = np.zeros((max(n_units, 1), K), dtype=np.int32)
         cnt_all = np.full(max(n_units, 1), -1, dtype=np.int32)
-        for start, n, posK, ds, cnt in pending:
+        mate_all = np.zeros((max(n_pairs, 1), O10), dtype=np.int32)
+        for start, n, posK, ds, cnt, mate in pending:
             s = start * per
             pos_all[s : s + n] = np.asarray(posK)[:n].view(np.uint32)
             ds_all[s : s + n] = np.asarray(ds)[:n]
             cnt_all[s : s + n] = np.asarray(cnt)[:n]
+            mate_all[start : start + n // per] = np.asarray(
+                mate)[: n // per]
         idx = np.flatnonzero(oversized)
         for ri in idx:
             cnt_all[ri * per : (ri + 1) * per] = -1
@@ -2259,9 +2358,12 @@ class TpuNativeEngine:
             self.n_fallback += n_fb
         t2 = time.perf_counter()
         self.stage_time["device collect"] += t2 - t1
+        # the device mating sweep cannot model allow-ambig reporting of
+        # sure-ambig-truncated sweeps; hand those batches the host sweep
+        mate_arg = None if self.native.allow_ambig else mate_all[:n_pairs]
         self.native._call_pe_slots(reads1, reads2, arm, rp, stats, out,
                                    pos_all[:n_units], ds_all[:n_units],
-                                   cnt_all[:n_units])
+                                   cnt_all[:n_units], mate_arg)
         self.stage_time["native stage-2"] += time.perf_counter() - t2
         return len(reads1)
 

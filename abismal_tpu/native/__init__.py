@@ -227,6 +227,7 @@ def get_engine_lib() -> ctypes.CDLL:
             + [ctypes.c_int64, ctypes.c_int, ctypes.c_int]
             + [ctypes.c_void_p] * 3  # slot pos / ds / cnt
             + [ctypes.c_int64]       # k2 (slots per unit)
+            + [ctypes.c_void_p, ctypes.c_int64]  # mate records, stride
             + [ctypes.c_int, ctypes.c_void_p]
         )
         lib.engine_out_ptr.restype = ctypes.c_void_p

@@ -842,6 +842,14 @@ struct Events {
   const int32_t *sl_cnt = nullptr;   // per unit; -1 => native seeding
   int64_t k2 = 0;
   bool slots() const { return sl_pos != nullptr; }
+
+  // device mating sweep records (pipeline.py build_stage12pe `mate`):
+  // per pair, per orientation, 10 ints [has, scr, pos1, pos2, d1, d2,
+  // scr1_stale, scr2, eq_after, 0] -- the LOCAL best_pair sweep result,
+  // applied by apply_device_mate with full sequential cross-orientation
+  // state kept on the host
+  const int32_t *mate = nullptr;  // (n_pairs, m_stride)
+  int64_t m_stride = 0;
 };
 
 struct Engine {
@@ -1703,6 +1711,61 @@ bool best_pair_impl(const Engine &E, Worker &w, PECand &res1, PECand &res2,
   return true;
 }
 
+// applies ONE orientation's device-computed local mating sweep
+// (pipeline.py build_stage12pe `mate` record) to the running PEBest
+// state.  Exact: within one best_pair call the final update is the first
+// pair by (score desc, diff-sum asc, traversal order asc) -- updates are
+// strict improvements -- eq_after reproduces the tie->ambig rule against
+// that winner, rec[6] carries the reference's stale memoized end-1 score
+// (abismal.cpp:1793-1799), and the caller replays orientations in order
+// so cross-call comparisons see the true post-traceback state (incl. the
+// discordant-after-clip reset).
+bool apply_device_mate(const Engine &E, Worker &w, const int32_t *rec,
+                       const uint8_t *pread1, int len1,
+                       const uint8_t *pread2, int len2, uint32_t sc1,
+                       uint32_t sc2, PEBest &best, bool swap_ends,
+                       Cigar &cig1_out, Cigar &cig2_out) {
+  if (!rec[0] || best.sure_ambig())
+    return false;
+  const Elem e1{rec[4], sc1, (uint32_t)rec[2]};
+  const Elem e2{rec[5], sc2, (uint32_t)rec[3]};
+  const bool updated = swap_ends ? best.update(rec[1], e2, e1)
+                                 : best.update(rec[1], e1, e2);
+  if (!updated)
+    return false;
+  if (rec[8])  // a later pair in this sweep ties the winner
+    set_ambig(best.r1);
+  // winner traceback + concordance recheck (== best_pair_impl's tail)
+  const int32_t max_diffs1 = diffs_cutoff(len1, E.valid_frac);
+  const int32_t max_diffs2 = diffs_cutoff(len2, E.valid_frac);
+  const int32_t best_scr1 = rec[6], best_scr2 = rec[7];
+  const int64_t best_pos1 = (uint32_t)rec[2];
+  const int64_t best_pos2 = (uint32_t)rec[3];
+  Elem s1 = swap_ends ? best.r2 : best.r1;
+  Elem s2 = swap_ends ? best.r1 : best.r2;
+  Cigar cigar1, cigar2;
+  int64_t aln_len1, aln_len2, np1, np2;
+  w.aln.align(s1.d, max_diffs1, pread1, len1, best_pos1, true);
+  w.aln.cigar_len_pos(s1.d, cigar1, aln_len1, np1, best_pos1);
+  s1.p = (uint32_t)np1;
+  s1.d = edit_distance(best_scr1, aln_len1, cigar1);
+  w.aln.align(s2.d, max_diffs2, pread2, len2, best_pos2, true);
+  w.aln.cigar_len_pos(s2.d, cigar2, aln_len2, np2, best_pos2);
+  s2.p = (uint32_t)np2;
+  s2.d = edit_distance(best_scr2, aln_len2, cigar2);
+  const int64_t frag_end = np2 + aln_len2;
+  if (frag_end >= np1 + E.pe_min && frag_end <= np1 + E.pe_max) {
+    best.r1 = swap_ends ? s2 : s1;
+    best.r2 = swap_ends ? s1 : s2;
+  }
+  else {
+    best.reset();
+  }
+  cig1_out = cigar1;
+  cig2_out = cigar2;
+  return true;
+}
+
 bool best_pair(const Engine &E, Worker &w, PECand &res1, PECand &res2,
                const uint8_t *pread1, int len1, const uint8_t *pread2,
                int len2, PEBest &best, bool swap_ends, Cigar &cig1_out,
@@ -1738,7 +1801,7 @@ bool map_fragments(const Engine &E, Worker &w, const Events &ev,
                    uint32_t sc2, int64_t u1, int64_t u2, PECand &res1,
                    PECand &res2, SECand &res_se1, SECand &res_se2,
                    PEBest &best, Cigar *c_this1, Cigar *c_this2, int b1,
-                   int b2, int rcb) {
+                   int b2, int rcb, const int32_t *mrec = nullptr) {
   res1.reset(len1);
   res2.reset(len2);
   if (!len1 && !len2)
@@ -1787,7 +1850,13 @@ bool map_fragments(const Engine &E, Worker &w, const Events &ev,
     res2.prepare_for_mating();
     Cigar nc1, nc2;
     bool bp;
-    if (s1ok || s2ok) {
+    if (mrec && s1ok && s2ok) {
+      // device-resident mating sweep: the local best_pair result was
+      // computed on the accelerator over these exact slot tables
+      bp = apply_device_mate(E, w, mrec, pread1, len1, pread2, len2, sc1,
+                             sc2, best, swap_ends, nc1, nc2);
+    }
+    else if (s1ok || s2ok) {
       // injected scores from the device slot table, looked up by
       // (pos, diffs); anything not found (or a native-seeded mate) runs
       // the host aligner -- score-identical, the Pallas kernel is
@@ -1933,16 +2002,18 @@ void map_one_pe(const Engine &E, Worker &w, const Events &ev, int64_t ri,
                 *p2a_rc = nullptr;
   bool any_ok = false;
 
+  // per-orientation device mating records (pipeline.py stage12pe mate)
+  const int32_t *mt = ev.mate ? ev.mate + ri * ev.m_stride : nullptr;
   if (!random_pbat) {
     const bool conv = a_rich_mode;
     const bool ok_pm = map_fragments(
       E, w, ev, read1, l1, read2, l2, conv, false, strand_code(false, conv),
       strand_code(true, !conv), 4 * ri, 4 * ri + 1, w.pe1, w.pe2, w.se1,
-      w.se2, best, &cig1, &cig2, 0, 1, 0);
+      w.se2, best, &cig1, &cig2, 0, 1, 0, mt ? mt + 0 : nullptr);
     const bool ok_mp = map_fragments(
       E, w, ev, read2, l2, read1, l1, !conv, true, strand_code(false, !conv),
       strand_code(true, conv), 4 * ri + 2, 4 * ri + 3, w.pe2, w.pe1, w.se2,
-      w.se1, best, &cig2, &cig1, 2, 3, 1);
+      w.se1, best, &cig2, &cig1, 2, 3, 1, mt ? mt + 10 : nullptr);
     const uint8_t *pr1 = l1 ? w.buf[0].data() : nullptr;
     const uint8_t *pr1_rc = l1 ? w.buf[3].data() : nullptr;
     const uint8_t *pr2 = l2 ? w.buf[2].data() : nullptr;
@@ -1956,22 +2027,24 @@ void map_one_pe(const Engine &E, Worker &w, const Events &ev, int64_t ri,
     const bool ok1 = map_fragments(
       E, w, ev, read1, l1, read2, l2, false, false,
       strand_code(false, false), strand_code(true, true), 8 * ri,
-      8 * ri + 1, w.pe1, w.pe2, w.se1, w.se2, best, &cig1, &cig2, 0, 1, 0);
+      8 * ri + 1, w.pe1, w.pe2, w.se1, w.se2, best, &cig1, &cig2, 0, 1, 0,
+      mt ? mt + 0 : nullptr);
     // event-unit ids follow the _pe_units enumeration: conv=False units
     // are 8ri+0..3 (1fF, 2rF, 2fT, 1rT), conv=True units 8ri+4..7
     // (1fT, 2rT, 2fF, 1rF)
     const bool ok2 = map_fragments(
       E, w, ev, read2, l2, read1, l1, true, true, strand_code(false, true),
       strand_code(true, false), 8 * ri + 2, 8 * ri + 3, w.pe2, w.pe1, w.se2,
-      w.se1, best, &cig2, &cig1, 2, 3, 1);
+      w.se1, best, &cig2, &cig1, 2, 3, 1, mt ? mt + 10 : nullptr);
     const bool ok3 = map_fragments(
       E, w, ev, read1, l1, read2, l2, true, false, strand_code(false, true),
       strand_code(true, false), 8 * ri + 4, 8 * ri + 5, w.pe1, w.pe2, w.se1,
-      w.se2, best, &cig1, &cig2, 4, 5, 0);
+      w.se2, best, &cig1, &cig2, 4, 5, 0, mt ? mt + 20 : nullptr);
     const bool ok4 = map_fragments(
       E, w, ev, read2, l2, read1, l1, false, true,
       strand_code(false, false), strand_code(true, true), 8 * ri + 6,
-      8 * ri + 7, w.pe2, w.pe1, w.se2, w.se1, best, &cig2, &cig1, 6, 7, 1);
+      8 * ri + 7, w.pe2, w.pe1, w.se2, w.se1, best, &cig2, &cig1, 6, 7, 1,
+      mt ? mt + 30 : nullptr);
     p1t = l1 ? w.buf[0].data() : nullptr;
     p1t_rc = l1 ? w.buf[7].data() : nullptr;
     p1a = l1 ? w.buf[4].data() : nullptr;
@@ -2393,7 +2466,8 @@ int64_t engine_map_pe_batch_slots(
   const uint8_t *reads2_blob, const int64_t *read2_offs,
   const uint8_t *names2_blob, const int64_t *name2_offs, int64_t n_reads,
   int a_rich_mode, int random_pbat, const uint32_t *sl_pos,
-  const int32_t *sl_ds, const int32_t *sl_cnt, int64_t k2, int n_threads,
+  const int32_t *sl_ds, const int32_t *sl_cnt, int64_t k2,
+  const int32_t *mate, int64_t m_stride, int n_threads,
   int64_t *stats_out) {
   Engine &E = *(Engine *)eng;
   Events ev{};
@@ -2401,6 +2475,8 @@ int64_t engine_map_pe_batch_slots(
   ev.sl_ds = sl_ds;
   ev.sl_cnt = sl_cnt;
   ev.k2 = k2;
+  ev.mate = mate;
+  ev.m_stride = m_stride;
   int max_len = 1;
   for (int64_t i = 0; i < n_reads; ++i) {
     max_len = std::max<int64_t>(max_len, read1_offs[i + 1] - read1_offs[i]);

@@ -94,19 +94,20 @@ def shard_stage12pe(stage12pe, mesh):
     rep = P()
     sh = P("data")
 
-    def wrapped(tables, pnib, lens, is_ga, max_diffs_u):
-        def inner(tables, pnib, lens, is_ga, max_diffs_u):
-            posK, ds, cnt = stage12pe(*tables, pnib, lens, is_ga,
-                                      max_diffs_u)
+    def wrapped(tables, pnib, lens, is_ga, max_diffs_u, pe_dist):
+        def inner(tables, pnib, lens, is_ga, max_diffs_u, pe_dist):
+            posK, ds, cnt, mate = stage12pe(*tables, pnib, lens, is_ga,
+                                            max_diffs_u, pe_dist)
             fb = jax.lax.psum(jnp.sum(cnt < 0), "data")
-            return posK, ds, cnt, fb
+            return posK, ds, cnt, mate, fb
 
         return shard_map(
             inner, mesh=mesh,
-            in_specs=(rep, sh, sh, sh, sh),
-            out_specs=(P("data", None), P("data", None), sh, rep),
+            in_specs=(rep, sh, sh, sh, sh, rep),
+            out_specs=(P("data", None), P("data", None), sh,
+                       P("data", None), rep),
             check_rep=False,
-        )(tables, pnib, lens, is_ga, max_diffs_u)
+        )(tables, pnib, lens, is_ga, max_diffs_u, pe_dist)
 
     return jax.jit(wrapped)
 
