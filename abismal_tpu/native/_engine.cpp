@@ -2460,6 +2460,112 @@ int64_t engine_map_pe_batch(void *eng, const uint8_t *reads1_blob,
 // build_stage12pe): per-unit prescored candidate lists replace both the
 // event stream and the host score pass; units with cnt < 0 re-seed
 // natively.  Output is byte-identical at any fallback rate.
+// ---------------------------------------------------------------------------
+// dense unit-matrix prep for the fused device programs (pipeline.py
+// _se_units_dense/_pe_units_dense): encodes reads into the device upload
+// format (two 4-bit bases per byte) without per-read Python work.  Rows
+// follow the unit-id enumeration; empty or oversized reads produce
+// zero-length rows, oversized ones additionally flag `oversized`.
+// ---------------------------------------------------------------------------
+namespace {
+
+inline void prep_pack_row(const uint8_t *ascii, int len, bool a_rich,
+                          bool rc, std::vector<uint8_t> &nib,
+                          std::vector<uint8_t> &rcb, uint8_t *row,
+                          int32_t *len_out) {
+  const uint8_t *src = ascii;
+  if (rc) {
+    revcomp_ascii(ascii, len, rcb);
+    src = rcb.data();
+  }
+  encode_read(src, len, a_rich, nib);
+  for (int i = 0; i < len; ++i)
+    row[i >> 1] |= (uint8_t)(nib[i] << ((i & 1) * 4));
+  *len_out = len;
+}
+
+}  // namespace
+
+extern "C" void engine_prep_se_units(
+  void *eng, const uint8_t *reads_blob, const int64_t *offs,
+  int64_t n_reads, int a_rich_mode, int random_pbat, int64_t lmax,
+  int64_t stride, uint8_t *pnib, int32_t *lens, uint8_t *oversized,
+  int n_threads) {
+  Engine &E = *(Engine *)eng;
+  const int per = random_pbat ? 4 : 2;
+  run_threads(E, n_reads, n_threads, [&](Worker &w, int64_t lo, int64_t hi) {
+    (void)w;
+    std::vector<uint8_t> nib, rcb;
+    for (int64_t ri = lo; ri < hi; ++ri) {
+      const uint8_t *r = reads_blob + offs[ri];
+      const int len = (int)(offs[ri + 1] - offs[ri]);
+      uint8_t *rows = pnib + (int64_t)per * ri * stride;
+      if (len == 0 || len > lmax) {
+        oversized[ri] = len > lmax;
+        continue;  // rows stay zero, lens stay zero
+      }
+      int32_t *lo_lens = lens + per * ri;
+      if (!random_pbat) {
+        prep_pack_row(r, len, a_rich_mode != 0, false, nib, rcb, rows,
+                      lo_lens);
+        prep_pack_row(r, len, a_rich_mode == 0, true, nib, rcb,
+                      rows + stride, lo_lens + 1);
+      }
+      else {
+        prep_pack_row(r, len, false, false, nib, rcb, rows, lo_lens);
+        prep_pack_row(r, len, true, false, nib, rcb, rows + stride,
+                      lo_lens + 1);
+        prep_pack_row(r, len, false, true, nib, rcb, rows + 2 * stride,
+                      lo_lens + 2);
+        prep_pack_row(r, len, true, true, nib, rcb, rows + 3 * stride,
+                      lo_lens + 3);
+      }
+    }
+  });
+}
+
+extern "C" void engine_prep_pe_units(
+  void *eng, const uint8_t *r1_blob, const int64_t *o1,
+  const uint8_t *r2_blob, const int64_t *o2, int64_t n_pairs,
+  int a_rich_mode, int random_pbat, int64_t lmax, int64_t stride,
+  uint8_t *pnib, int32_t *lens, uint8_t *oversized, int n_threads) {
+  Engine &E = *(Engine *)eng;
+  const int per = random_pbat ? 8 : 4;
+  run_threads(E, n_pairs, n_threads, [&](Worker &w, int64_t lo, int64_t hi) {
+    (void)w;
+    std::vector<uint8_t> nib, rcb;
+    for (int64_t ri = lo; ri < hi; ++ri) {
+      const uint8_t *r1 = r1_blob + o1[ri];
+      const int l1 = (int)(o1[ri + 1] - o1[ri]);
+      const uint8_t *r2 = r2_blob + o2[ri];
+      const int l2 = (int)(o2[ri + 1] - o2[ri]);
+      if ((l1 && l1 > lmax) || (l2 && l2 > lmax)) {
+        oversized[ri] = 1;
+        continue;
+      }
+      uint8_t *rows = pnib + (int64_t)per * ri * stride;
+      int32_t *lp = lens + per * ri;
+      const int n_conv = random_pbat ? 2 : 1;
+      for (int c = 0; c < n_conv; ++c) {
+        const bool conv = random_pbat ? (c != 0) : (a_rich_mode != 0);
+        if (l1)
+          prep_pack_row(r1, l1, conv, false, nib, rcb, rows, lp);
+        if (l2) {
+          prep_pack_row(r2, l2, conv, true, nib, rcb, rows + stride,
+                        lp + 1);
+          prep_pack_row(r2, l2, !conv, false, nib, rcb, rows + 2 * stride,
+                        lp + 2);
+        }
+        if (l1)
+          prep_pack_row(r1, l1, !conv, true, nib, rcb, rows + 3 * stride,
+                        lp + 3);
+        rows += 4 * stride;
+        lp += 4;
+      }
+    }
+  });
+}
+
 int64_t engine_map_pe_batch_slots(
   void *eng, const uint8_t *reads1_blob, const int64_t *read1_offs,
   const uint8_t *names1_blob, const int64_t *name1_offs,
