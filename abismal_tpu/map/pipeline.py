@@ -36,6 +36,17 @@ from ..constants import (
 SLOT = 128  # max candidates checked per (offset, table); > max_candidates
 HASH3_MOD = 43046721  # 3^16
 
+# Minimum read length for the device paths.  The specific phase seeds
+# offsets up to floor(len/2) (process_seeds, abismal.cpp:1298-1305), and a
+# KEY_WEIGHT-symbol seed at that offset stays inside the read only when
+# floor(len/2) + KEY_WEIGHT <= len, i.e. len >= 2*KEY_WEIGHT - 1 = 49;
+# below that the reference reads past the read end (benign garbage
+# upstream, unreproducible on fixed-shape device buffers).  The bound is
+# profile-independent (KEY_WEIGHT does not change under ABISMAL_TPU_SHORT),
+# so under the SHORT profile 36-48 bp reads -- its target workload -- map
+# on the exact host path.
+DEVICE_MIN_LEN = 2 * KEY_WEIGHT - 1  # 49
+
 
 def auto_cand_budget(n_index2: int, n_index3: int, lmax: int) -> int:
     """Global per-unit candidate budget sized to the index's bucket
@@ -64,7 +75,7 @@ def estimate_cand_budget(counters, max_candidates: int, units, is_ga,
     """Workload-informed per-unit candidate budget: replays the seeding
     policy's bucket-size checks in NumPy over a sample of real units
     (keys via rolling hashes, sizes via the counter prefix arrays) and
-    sizes the POOLED device budget at ~1.4x the measured mean.
+    sizes the POOLED device budget at ~1.25x the measured mean.
 
     Every per-candidate device op is gather-issue-bound, so overshooting
     the budget costs wall-clock linearly; the density heuristic
@@ -939,12 +950,12 @@ def build_stage1(lmax: int, max_candidates: int, n_index2: int,
         dropped = acc_at[uend] > jnp.maximum(gcap, acc_at[ustart])
         overflow = overflow | dropped
 
-        # short reads (< 49 bp) can drive the reference extension past the
-        # read end (UB upstream); route them to the host path, as well as
-        # reads whose length or 0.4*len threshold exceeds the 10-bit biased
-        # diffs field of the packed event meta (len > 512)
-        overflow = overflow | ((lens > 0) & (lens < 49)) | (thr > 511) | (
-            lens > 512)
+        # short reads (< DEVICE_MIN_LEN bp) can drive the reference
+        # extension past the read end (UB upstream); route them to the host
+        # path, as well as reads whose length or 0.4*len threshold exceeds
+        # the 10-bit biased diffs field of the packed event meta (len > 512)
+        overflow = (overflow | ((lens > 0) & (lens < DEVICE_MIN_LEN))
+                    | (thr > 511) | (lens > 512))
         ev = gev[:gcap].T
         cf = count | (overflow.astype(jnp.int32) << 30)
         return ev, cf
@@ -1106,7 +1117,10 @@ def build_stage12(lmax: int, max_candidates: int, n_index2: int,
         dest = jnp.where(
             keep, r_of * K + jnp.minimum(slot_r, K - 1),
             jnp.where(is_ex & (ex_exc < EXP), R * K + ex_exc, NTOT))
-        scd = (scode_cand << 10) | d
+        # diffs biased by +512 into the 10-bit field (as stage1 does):
+        # IUPAC genome nibbles can drive the popcount distance negative,
+        # and a raw negative d would smear sign bits over scode
+        scd = (scode_cand << 10) | ((d + 512) & 1023)
         fillK = jnp.concatenate(
             [jnp.full((NTOT + 1, 1), -1, jnp.int32),  # -1 == POS_EMPTY
              jnp.full((NTOT + 1, 1), 0x7FFFFFFF, jnp.int32),
@@ -1142,7 +1156,8 @@ def build_stage12(lmax: int, max_candidates: int, n_index2: int,
              slotsA[: R * K, 1].reshape(R, K)), dimension=1, num_keys=2)
         posK = posKi
         sK = scdK >> 10
-        dK = jnp.where(scdK == 0x7FFFFFFF, 0x7FFFFFFF, scdK & 1023)
+        dK = jnp.where(scdK == 0x7FFFFFFF, 0x7FFFFFFF,
+                       (scdK & 1023) - 512)  # unbias
         filled = posK != POS_EMPTY
         dup = jnp.concatenate(
             [jnp.zeros((R, 1), bool),
@@ -1255,7 +1270,7 @@ def build_stage12(lmax: int, max_candidates: int, n_index2: int,
         # --- per-read records ---
         unit_fb = jnp.any(overflow.reshape(R, per), axis=1)
         fb = (unit_fb | heap_fb | job_fb | bw_over | ex_over
-              | ((rlen > 0) & (rlen < 49)))
+              | ((rlen > 0) & (rlen < DEVICE_MIN_LEN)))
         aligned = (~has_ex) & (M > 0)
         status = jnp.where(fb, REC_FALLBACK,
                            jnp.where(has_ex, REC_EXACT,
@@ -1311,7 +1326,7 @@ def build_stage12pe(lmax: int, max_candidates: int, n_index2: int,
       cnt  (B,)   i32    accepted count, or -1 => native-seeding fallback
       mate (B/per, O*10) i32  per-orientation local mating sweeps (the
            device-resident best_pair; see the inline exactness notes)
-    pe_dist: (2,) i32 = (-l, -L) concordance window bounds.
+    pe_dist: (2,) i32 = (pe_min, pe_max) concordance window bounds.
     """
     from ..kernels.banded_align import BW_MAX, QOFF, build_banded_scorer
 
@@ -1434,8 +1449,8 @@ def build_stage12pe(lmax: int, max_candidates: int, n_index2: int,
         jrank = jnp.minimum(kbase[:, None] + kidx, J - 1)
         scrK = jnp.where(slot_live & (jrank < J), scores_j[jrank], 0)
 
-        fb = overflow | heap_fb | bw_fb | job_fb | ((lens > 0)
-                                                    & (lens < 49))
+        fb = overflow | heap_fb | bw_fb | job_fb | (
+            (lens > 0) & (lens < DEVICE_MIN_LEN))
         cnt = jnp.where(fb, -1, n_acc)
         posKm = posK.reshape(B, K)
         dKm = dKf[: B * K].reshape(B, K)
@@ -1510,13 +1525,25 @@ def build_stage12pe(lmax: int, max_candidates: int, n_index2: int,
                              ordg, -1)
             cmax = jnp.max(cord, axis=(1, 2))
             i_c = jnp.minimum(jnp.maximum(cmax, 0) % K, K - 1)[:, None]
+            # mid-sweep sure-ambig divergence guard: at the maximum
+            # possible pair score (2*(l1+l2) all-match, where the
+            # reference's sweep STOPS once a tie sets ambig,
+            # abismal.cpp:1722-1831), IUPAC codes can make tied pairs'
+            # diff-sums differ, and the device's min-diff-sum winner may
+            # postdate the reference's early exit.  Flag those rare
+            # orientations (slot 9) for the host's exact injected-score
+            # sweep; equal diff-sums need no flag (device winner = first
+            # in traversal order = the reference's, eq_after -> ambig).
+            maxscr = 2 * (lensP[:, 2 * o] + lensP[:, 2 * o + 1])
+            fbm = (M == maxscr) & jnp.any(
+                isM & (sdP != sd_w[:, None, None]), axis=(1, 2))
             ta = lambda a, idx: jnp.take_along_axis(a, idx, axis=1)[:, 0]
             recs.append(jnp.stack([
                 (M >= 0).astype(jnp.int32), M,
                 jax.lax.bitcast_convert_type(ta(p1, i_w), jnp.int32),
                 jax.lax.bitcast_convert_type(ta(p2, j_w), jnp.int32),
                 ta(d1, i_w), ta(d2, j_w), ta(s1, i_c), ta(s2, j_w),
-                eq_after.astype(jnp.int32), jnp.zeros(Rp, jnp.int32),
+                eq_after.astype(jnp.int32), fbm.astype(jnp.int32),
             ], axis=1))
         mate = jnp.concatenate(recs, axis=1)  # (Rp, O*10)
 

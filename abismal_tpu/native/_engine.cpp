@@ -1850,9 +1850,13 @@ bool map_fragments(const Engine &E, Worker &w, const Events &ev,
     res2.prepare_for_mating();
     Cigar nc1, nc2;
     bool bp;
-    if (mrec && s1ok && s2ok) {
+    if (mrec && mrec[9] == 0 && s1ok && s2ok) {
       // device-resident mating sweep: the local best_pair result was
-      // computed on the accelerator over these exact slot tables
+      // computed on the accelerator over these exact slot tables.
+      // mrec[9] flags a max-score tie with differing diff-sums, where the
+      // reference's mid-sweep sure-ambig early exit can diverge from the
+      // device's min-diff-sum winner -- those take the injected-score
+      // sweep below, which replays the exact sequential order
       bp = apply_device_mate(E, w, mrec, pread1, len1, pread2, len2, sc1,
                              sc2, best, swap_ends, nc1, nc2);
     }
