@@ -96,6 +96,166 @@ def _kernel_body(jnp, jax, pl, pltpu, qt_ref, wint_ref, bw_ref, qsz_ref,
     out_ref[0, :] = jnp.max(best, axis=0)
 
 
+def _tracer_body(jnp, jax, pl, pltpu, qt_ref, wint_ref, bw_ref, qsz_ref,
+                 panel_ref, best_ref, brr_ref, bc_ref, lp: int, jb: int):
+    """Traceback variant of _kernel_body: same recurrence and boundary
+    semantics, but every cell's ARROW (the reference's equal-score
+    overwrite order M < D < I; AbismalAlign.hpp:266-307, mirrored by the
+    native run_tb/_engine.cpp) and a positive-score bit are packed into a
+    4-bit nibble and stored to a per-job panel -- 8 consecutive band ROWS
+    per i32 word (word w holds rows 8w..8w+7 of a band column) -- plus the
+    row-major-first argmax cell (strict '>' keeps the first maximum in
+    (row asc, col asc) order, as build_traceback's scan does).
+
+    Nibble: bits 0-1 arrow2 (M=0, I=1, D=2, none=3), bit 2 = score > 0.
+    Arrow capture from final values (see the native run_tb_zmm proof):
+      M iff prev[j] + sub >= 0
+      D iff del >= after-diag value, applied only for c < right-1
+      I iff final[j] == final[j-1] + indel (fixpoint == the scalar
+          left-to-right running values)
+    Out-of-band lanes store nibble 0 (arrow2 would be meaningless there;
+    the walk never reads them: entered cells are in-band, and a zero
+    positive-bit stops the walk exactly like the reference's table test).
+    """
+    cols = jax.lax.broadcasted_iota(jnp.int32, (BAND, jb), 0)
+    bw = bw_ref[0:1, :]
+    qsz = qsz_ref[0:1, :]
+    n_rows = lp + QOFF
+    n_words = (n_rows + 7) // 8
+
+    zero = jnp.zeros((BAND, jb), jnp.int32)
+    for w in range(n_words):
+        panel_ref[pl.ds(w * BAND, BAND), :] = zero
+
+    def row_step(rr, carry):
+        prev, best, brr, bc = carry
+        left = jnp.maximum(QOFF - rr, 0)
+        right = jnp.minimum(bw, qsz + (QOFF - rr))
+        valid = (cols >= left) & (cols < right)
+
+        qrow = qt_ref[pl.ds(rr, BAND), :]
+        ref_base = wint_ref[pl.ds(rr, 1), :]
+        sub = jnp.where((qrow & ref_base) != 0, ALN_MATCH, ALN_MISMATCH)
+        subscore = prev + sub
+        c1 = jnp.maximum(0, subscore)
+
+        above = jnp.concatenate(
+            [prev[1:, :], jnp.zeros((1, jb), jnp.int32)], axis=0)
+        delv = above + ALN_INDEL
+        app_d = cols < right - 1
+        c2 = jnp.where(app_d, jnp.maximum(c1, delv), c1)
+
+        m = jnp.where(valid, c2 - ALN_INDEL * cols, NEG)
+        shift = 1
+        while shift < BAND:
+            rolled = jnp.concatenate(
+                [jnp.full((shift, jb), NEG, jnp.int32), m[:-shift, :]],
+                axis=0)
+            m = jnp.maximum(m, rolled)
+            shift *= 2
+        v = m + ALN_INDEL * cols
+        stored = jnp.where(valid, v, 0)
+
+        # arrows (overwrite-on-equal order: M, then D, then I)
+        vleft = jnp.concatenate(
+            [jnp.zeros((1, jb), jnp.int32), stored[:-1, :]], axis=0)
+        is_m = subscore >= 0
+        is_d = app_d & (delv >= c1)
+        is_i = stored == vleft + ALN_INDEL
+        arrow2 = jnp.where(is_m, 0, 3)
+        arrow2 = jnp.where(is_d, 2, arrow2)
+        arrow2 = jnp.where(is_i, 1, arrow2)
+        nib = jnp.where(valid,
+                        arrow2 | jnp.where(stored > 0, 4, 0), 0)
+        w = rr >> 3
+        sh = (rr & 7) * 4
+        old = panel_ref[pl.ds(w * BAND, BAND), :]
+        panel_ref[pl.ds(w * BAND, BAND), :] = old | (nib << sh)
+
+        # row-major-first argmax (strict '>' keeps the earliest row; min
+        # col among the row's maxima keeps the earliest col)
+        rmax = jnp.max(stored, axis=0, keepdims=True)
+        cstar = jnp.min(jnp.where(stored == rmax, cols, BAND),
+                        axis=0, keepdims=True)
+        upd = rmax > best
+        best = jnp.where(upd, rmax, best)
+        brr = jnp.where(upd, rr, brr)
+        bc = jnp.where(upd, cstar, bc)
+        return stored, best, brr, bc
+
+    prev0 = jnp.zeros((BAND, jb), jnp.int32)
+    z1 = jnp.zeros((1, jb), jnp.int32)
+    _, best, brr, bc = jax.lax.fori_loop(
+        0, n_rows, row_step, (prev0, z1, z1, z1))
+    best_ref[0, :] = best[0, :]
+    brr_ref[0, :] = brr[0, :]
+    bc_ref[0, :] = bc[0, :]
+
+
+def build_banded_tracer(lp: int = 128, jb: int = 128,
+                        interpret: bool = False):
+    """Returns a jitted f(q, win, bw, qsz) -> (panel, best, brr, bc):
+    panel (n_words*BAND, J) i32 packed traceback nibbles (see
+    _tracer_body), best/brr/bc (J,) i32 -- the row-major-first argmax
+    score and its (reparametrized row rr, band col) cell.  Input layout
+    identical to build_banded_scorer."""
+    import jax
+    import jax.numpy as jnp
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    n_rows = lp + QOFF
+    n_words = (n_rows + 7) // 8
+    qt_rows = ((n_rows - 1 + BAND) + 7) & ~7
+    wt_rows = (n_rows + 7) & ~7
+    body = functools.partial(_tracer_body, jnp, jax, pl, pltpu,
+                             lp=lp, jb=jb)
+
+    def tracer(q, win, bw, qsz):
+        j = q.shape[0]
+        grid = (j // jb,)
+        nq = min(qt_rows - QOFF, q.shape[1])
+        qt = jnp.zeros((qt_rows, j), jnp.int32).at[QOFF : QOFF + nq].set(
+            q.T[:nq].astype(jnp.int32))
+        wt = jnp.zeros((wt_rows, j), jnp.int32).at[
+            : min(wt_rows, win.shape[1])].set(
+            win.T[:wt_rows].astype(jnp.int32))
+        panel, best, brr, bc = pl.pallas_call(
+            body,
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((qt_rows, jb), lambda g: (0, g),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((wt_rows, jb), lambda g: (0, g),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, jb), lambda g: (0, g),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, jb), lambda g: (0, g),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=[
+                pl.BlockSpec((n_words * BAND, jb), lambda g: (0, g),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, jb), lambda g: (0, g),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, jb), lambda g: (0, g),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, jb), lambda g: (0, g),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_shape=[
+                jax.ShapeDtypeStruct((n_words * BAND, j), jnp.int32),
+                jax.ShapeDtypeStruct((1, j), jnp.int32),
+                jax.ShapeDtypeStruct((1, j), jnp.int32),
+                jax.ShapeDtypeStruct((1, j), jnp.int32),
+            ],
+            interpret=interpret,
+        )(qt, wt, bw.reshape(1, j), qsz.reshape(1, j))
+        return panel, best[0], brr[0], bc[0]
+
+    return jax.jit(tracer)
+
+
 def win_start(pos, bw):
     """Genome nibble index of a job's window row 0: the band placement
     t_beg = pos - (bw-1)/2 plus the row reparametrization's ti shift

@@ -184,18 +184,27 @@ class NativeMappingEngine:
 
     # ---- device stage-2 finalize (pipeline.py build_stage12) ---------------
     def _finalize_se(self, reads, a_rich_mode, random_pbat, records, stats,
-                     out):
+                     out, cig_ops=None, cig_meta=None):
         """records: (n_reads, 4) int32 per-read device decisions; the
         native side does traceback-for-winners + SAM + stats, or a full
-        exact re-map for REC_FALLBACK rows."""
+        exact re-map for REC_FALLBACK rows.  cig_ops/cig_meta (optional):
+        device-traceback output (pipeline.build_tb_block) -- aligned rows
+        with meta n_ops >= 0 skip the host aligner entirely."""
         names, seqs = zip(*reads) if reads else ((), ())
         rblob, roffs = _blob(list(seqs))
         nblob, noffs = _blob([n.encode() for n in names])
         records = np.ascontiguousarray(records, dtype=np.int32)
+        tb_nops = 0
+        if cig_ops is not None:
+            cig_ops = np.ascontiguousarray(cig_ops, dtype=np.int32)
+            cig_meta = np.ascontiguousarray(cig_meta, dtype=np.int32)
+            tb_nops = cig_ops.shape[1]
         st = np.zeros(6, dtype=np.int64)
         n = self.lib.engine_se_finalize(
             self._ctx, _ptr(rblob), _ptr(roffs), _ptr(nblob), _ptr(noffs),
             len(reads), int(a_rich_mode), int(random_pbat), _ptr(records),
+            _ptr(cig_ops) if cig_ops is not None else None,
+            _ptr(cig_meta) if cig_meta is not None else None, tb_nops,
             self.n_threads, _ptr(st))
         out.write(ctypes.string_at(self.lib.engine_out_ptr(self._ctx),
                                    n).decode())

@@ -970,12 +970,119 @@ _stage12_memo = {}
 # stage-2 record status codes (shared with native engine_se_finalize)
 REC_UNMAPPED, REC_EXACT, REC_ALIGNED, REC_FALLBACK = 0, 1, 2, 3
 
+# device-traceback cigar buffer: run-length ops per winner.  Real cigars
+# hold <= 2*max_diffs+1 non-clip runs (every I/D run costs >= 4 score, so
+# a 100 bp read at max_diffs 10 has <= 21); overflowing reads take the
+# host traceback for that read alone (n_ops = -1), so the cap trades
+# device payload for fallback rate, never correctness.
+TB_NOPS = 24
+
+
+def build_tb_block(lmax: int, interpret: bool = False):
+    """Device traceback for winner alignments (build_traceback,
+    AbismalAlign.hpp:388-440 / the native build_traceback): the tracer
+    kernel re-runs the banded DP storing packed (arrow, positive) nibbles
+    -- 8 band rows per i32 word -- plus the row-major-first argmax cell,
+    then a lane-parallel while_loop walks the arrows emitting run-length
+    cigar ops in walk order.
+
+    Returns tb(q2 (J2, lmax) u8, win2 (J2, lmax+QOFF) u8, wbw (J2,) i32,
+    wqsz (J2,) i32, wpos (J2,) u32, do_tb (J2,) bool) ->
+      ops  (J2, TB_NOPS) i32: (run_len << 4 | op) in WALK order (the
+           caller reverses and adds the soft clips)
+      meta (J2, 4) i32: [n_ops (-1 = not traced / buffer overflow),
+           soft_bottom, soft_top, new_pos (u32 bitcast)]
+    Untraced lanes must carry bw = 1, qsz = 0."""
+    from ..kernels.banded_align import BAND as TB_BAND
+    from ..kernels.banded_align import QOFF, build_banded_tracer
+
+    jax, jnp = _jm()
+    tracer = build_banded_tracer(lmax, interpret=interpret)
+    WW3 = lmax + QOFF
+    NWP = (WW3 + 7) // 8
+    NOPS = TB_NOPS
+    MAXSTEP = WW3 + 2 * (QOFF + 1) + 4
+
+    def tb(q2, win2, wbw, wqsz, wpos, do_tb):
+        J2 = q2.shape[0]
+        panel, tbest, brr, bc = tracer(q2, win2, wbw[:, None],
+                                       wqsz[:, None])
+        panelf = panel.reshape(-1)
+        jid2 = jnp.arange(J2, dtype=jnp.int32)
+
+        def fetch(i, j):
+            rr = i - wbw + QOFF
+            idx = ((rr >> 3) * TB_BAND + j) * J2 + jid2
+            ok = (rr >= 0) & (rr < NWP * 8) & (j >= 0) & (j < TB_BAND)
+            word = panelf[jnp.clip(idx, 0, panelf.shape[0] - 1)]
+            return jnp.where(ok, (word >> ((rr & 7) * 4)) & 0xF, 0)
+
+        # initial step from the argmax cell (arrow read unconditionally;
+        # table[best] > 0 is guaranteed for traced lanes)
+        i0 = brr - QOFF + wbw
+        j0 = bc
+        started = do_tb & (tbest > 0)
+        a0 = fetch(i0, j0) & 3
+        isI0 = a0 == 1
+        isD0 = a0 == 2
+        i1 = i0 - jnp.where(isI0, 0, 1)
+        j1 = j0 - isI0.astype(jnp.int32) + isD0.astype(jnp.int32)
+        opsb0 = jnp.zeros((J2, NOPS), jnp.int32)
+        kops = jnp.arange(NOPS, dtype=jnp.int32)[None, :]
+
+        def w_cond(st):
+            return jnp.any(st[0]) & (st[8] < MAXSTEP)
+
+        def w_body(st):
+            act, i, j, prv, n, cnt, ops, over, stp = st
+            nibw = fetch(i, j)
+            act = act & ((nibw & 4) != 0)
+            arrow = nibw & 3
+            emit = act & (arrow != prv)
+            val = (n << 4) | prv
+            ops = jnp.where(emit[:, None]
+                            & (kops == jnp.minimum(cnt, NOPS - 1)[:, None]),
+                            val[:, None], ops)
+            over = over | (emit & (cnt >= NOPS))
+            cnt = cnt + emit.astype(jnp.int32)
+            n = jnp.where(emit, 1, n + act.astype(jnp.int32))
+            isI = act & (arrow == 1)
+            isD = act & (arrow == 2)
+            i = jnp.where(act & ~isI, i - 1, i)
+            j = j - isI.astype(jnp.int32) + isD.astype(jnp.int32)
+            prv = jnp.where(act, arrow, prv)
+            return act, i, j, prv, n, cnt, ops, over, stp + 1
+
+        st0 = (started, i1, j1, a0, jnp.ones(J2, jnp.int32),
+               jnp.zeros(J2, jnp.int32), opsb0, jnp.zeros(J2, bool),
+               jnp.zeros((), jnp.int32))
+        actF, iF, jF, prvF, nF, cntF, opsF, overF, _ = \
+            jax.lax.while_loop(w_cond, w_body, st0)
+        # final run emit (the walk's trailing (n, prev_arrow))
+        valF = (nF << 4) | prvF
+        opsF = jnp.where(started[:, None]
+                         & (kops == jnp.minimum(cntF, NOPS - 1)[:, None]),
+                         valF[:, None], opsF)
+        overF = overF | (started & (cntF >= NOPS)) | actF
+        cntF = cntF + started.astype(jnp.int32)
+        soft_bottom = (wqsz + wbw - 1) - (i0 + j0)
+        soft_top = (iF + jF) - (wbw - 1)
+        newpos = (wpos - ((wbw - 1) // 2).astype(jnp.uint32)
+                  + iF.astype(jnp.uint32))
+        n_ops = jnp.where(started & ~overF, cntF, -1)
+        meta = jnp.stack(
+            [n_ops, soft_bottom, soft_top,
+             jax.lax.bitcast_convert_type(newpos, jnp.int32)], axis=1)
+        return opsF, meta
+
+    return tb
+
 
 def build_stage12(lmax: int, max_candidates: int, n_index2: int,
                   n_index3: int, per: int, cand_per_unit: int | None = None,
                   k_slots: int = 50, jobs_per_read: int = 8,
                   interpret: bool = False, cut: str | None = None,
-                  ext_iters: int = 31):
+                  ext_iters: int = 31, device_tb: bool | None = None):
     """Fused device stage-1+2 for single-end mapping: ONE jitted program
     runs candidate generation (the shared core), the reference's candidate
     -set decision logic, batched banded-alignment scoring (Pallas), and
@@ -1011,7 +1118,13 @@ def build_stage12(lmax: int, max_candidates: int, n_index2: int,
     pnib/lens/is_ga are laid out DENSELY: unit row per*r + u belongs to
     read r (empty reads upload zero-length rows); scode is the (per,)
     strand-code pattern; max_diffs_r is int(valid_frac * len) per read
-    (host-computed: valid_frac is an arbitrary CLI float)."""
+    (host-computed: valid_frac is an arbitrary CLI float).
+
+    device_tb (default env ABISMAL_TPU_DEVTB, on): also run the winner's
+    traceback on device; returns (rec, cig_ops (R, TB_NOPS) i32 runs in
+    walk order, cig_meta (R, 4) i32 [n_ops | -1, soft_bottom, soft_top,
+    new_pos]) -- the host reverses ops, adds soft clips and recovers NM
+    (edit_distance), with NO per-read aligner call."""
     from ..kernels.banded_align import BW_MAX, QOFF, build_banded_scorer
 
     cand_per_unit = _resolve_cand_budget(cand_per_unit, n_index2, n_index3,
@@ -1019,9 +1132,11 @@ def build_stage12(lmax: int, max_candidates: int, n_index2: int,
     k_slots = int(os.environ.get("ABISMAL_TPU_K_SLOTS", k_slots))
     jobs_per_read = int(os.environ.get("ABISMAL_TPU_JOBS_PER_READ",
                                        jobs_per_read))
+    if device_tb is None:
+        device_tb = os.environ.get("ABISMAL_TPU_DEVTB", "1") == "1"
     memo_key = (lmax, max_candidates, n_index2, n_index3, per,
                 cand_per_unit, k_slots, jobs_per_read, interpret, cut,
-                ext_iters)
+                ext_iters, device_tb)
     if memo_key in _stage12_memo:
         return _stage12_memo[memo_key]
     jax, jnp = _jm()
@@ -1030,6 +1145,8 @@ def build_stage12(lmax: int, max_candidates: int, n_index2: int,
                               cut=cut if cut in CORE_CUTS else None,
                               ext_iters=ext_iters)
     scorer = build_banded_scorer(lmax, interpret=interpret)
+    tb_block = build_tb_block(lmax, interpret=interpret) if device_tb \
+        else None
     K = k_slots
     WW3 = lmax + QOFF  # v3 window rows per job
     F_RC, F_SECONDARY, F_A_RICH = 0x10, 0x100, 0x1000
@@ -1285,7 +1402,51 @@ def build_stage12(lmax: int, max_candidates: int, n_index2: int,
             status | (flags << 3), rd,
             jax.lax.bitcast_convert_type(rp, jnp.int32),
             jnp.where(aligned, M, 0)], axis=1)
-        return rec
+        if not device_tb:
+            return rec
+
+        # --- on-device traceback for winners (build_traceback,
+        # AbismalAlign.hpp:388-440 / native build_traceback): removes the
+        # per-winner host alignment call (VERDICT r4 ask #4).  The tracer
+        # kernel re-runs the winner's banded DP storing packed
+        # (arrow, positive) nibbles -- 8 band rows per i32 word -- plus
+        # the row-major-first argmax cell; a lane-parallel while_loop then
+        # walks the arrows, emitting run-length cigar ops in walk order.
+        # The host reverses the ops, adds the geometric soft clips, and
+        # recovers NM via edit_distance -- no aligner call.  Reads whose
+        # op count exceeds the buffer get n_ops = -1 and take the host
+        # traceback for that read alone (output-identical).
+        do_tb = aligned & ~fb
+        J2 = ((R + 127) // 128) * 128
+        padR = J2 - R
+        wunit = jnp.take_along_axis(qrowK, ist, axis=1)[:, 0]
+        wbw = jnp.take_along_axis(bwK, ist, axis=1)[:, 0]
+        wbw = jnp.pad(jnp.where(do_tb, wbw, 1), (0, padR),
+                      constant_values=1)
+        wqsz = jnp.pad(jnp.where(do_tb, rlen, 0), (0, padR))
+        wpos = jnp.pad(jnp.where(do_tb, bpos, np.uint32(0)), (0, padR))
+        wrows = pnib[jnp.pad(wunit, (0, padR))]
+        q2 = jnp.stack([wrows & np.uint8(0xF), wrows >> np.uint8(4)],
+                       axis=2).reshape(J2, -1)
+        g02 = wpos + ((wbw - 1) // 2).astype(jnp.uint32) - np.uint32(QOFF)
+        grow2 = (g02 >> np.uint32(9)).astype(jnp.int32)
+        A2 = genome2o[grow2]
+        if WW3 + 511 > 1024:
+            A2 = jnp.concatenate([A2, genome2o[grow2 + 2][:, :64]], axis=1)
+        nw2 = A2.shape[1]
+        nib2 = ((A2[:, :, None]
+                 >> (np.uint32(4)
+                     * jnp.arange(8, dtype=jnp.uint32))[None, None, :])
+                & np.uint32(0xF)).astype(jnp.uint8).reshape(J2, nw2 * 8)
+        off2 = (g02 & np.uint32(511)).astype(jnp.int32)
+        for s_ in (256, 128, 64, 32, 16, 8, 4, 2, 1):
+            rolled = jnp.concatenate(
+                [nib2[:, s_:], jnp.zeros((J2, s_), jnp.uint8)], axis=1)
+            nib2 = jnp.where((off2 & s_)[:, None] != 0, rolled, nib2)
+        win2 = nib2[:, :WW3]
+        opsR, meta = tb_block(q2, win2, wbw, wqsz, wpos,
+                              jnp.pad(do_tb, (0, padR)))
+        return rec, opsR[:R], meta[:R]
 
     result = (jax.jit(stage12), o_spec)
     _stage12_memo[memo_key] = result
@@ -1847,6 +2008,10 @@ class TpuNativeEngine:
             device_stage2 = bool(int(os.environ.get(
                 "ABISMAL_TPU_STAGE2", "1")))
         self.device_stage2 = bool(device_stage2) and not index_shards
+        # on-device traceback for SE winners (build_tb_block): the host
+        # keeps only cigar assembly + SAM text for those reads
+        self.device_tb = self.device_stage2 and bool(int(os.environ.get(
+            "ABISMAL_TPU_DEVTB", "1")))
         self.device_decisions = np.zeros(4, dtype=np.int64)
         self._stage12_progs = {}
         self.index_shards = 0
@@ -2143,7 +2308,8 @@ class TpuNativeEngine:
                                     self.dev.n_index2, self.dev.n_index3,
                                     per, cand_per_unit=cand_budget,
                                     interpret=interp,
-                                    ext_iters=self.dev.ext_iters)
+                                    ext_iters=self.dev.ext_iters,
+                                    device_tb=self.device_tb)
             if self.mesh is not None:
                 from ..parallel.mesh import shard_stage12
 
@@ -2276,18 +2442,31 @@ class TpuNativeEngine:
             max_diffs_r = (self.valid_frac
                            * lens_r.astype(np.float64)).astype(np.int32)
             is_ga = np.tile(is_ga_pat, rpc)
+            cig = None
             if self.mesh is not None:
-                rec, counts = prog(self._tables, preads, lens, is_ga,
-                                   scode_pat, max_diffs_r)
+                if self.device_tb:
+                    rec, ops_a, meta_a, counts = prog(
+                        self._tables, preads, lens, is_ga, scode_pat,
+                        max_diffs_r)
+                    cig = (ops_a, meta_a)
+                else:
+                    rec, counts = prog(self._tables, preads, lens, is_ga,
+                                       scode_pat, max_diffs_r)
             else:
-                rec = prog(*self.dev.tables(), preads, lens, is_ga,
-                           scode_pat, max_diffs_r)
+                out_p = prog(*self.dev.tables(), preads, lens, is_ga,
+                             scode_pat, max_diffs_r)
+                if self.device_tb:
+                    rec, ops_a, meta_a = out_p
+                    cig = (ops_a, meta_a)
+                else:
+                    rec = out_p
                 counts = None
-            try:
-                rec.copy_to_host_async()
-            except (AttributeError, RuntimeError):
-                pass
-            pending.append((start, n, rec, counts))
+            for a in (rec,) + (cig or ()):
+                try:
+                    a.copy_to_host_async()
+                except (AttributeError, RuntimeError):
+                    pass
+            pending.append((start, n, rec, counts, cig))
         return (reads, a_rich_mode, random_pbat, per, pending, oversized)
 
     def _finish_se_stage12(self, handle, stats, out):
@@ -2295,8 +2474,15 @@ class TpuNativeEngine:
         t1 = time.perf_counter()
         R = len(reads)
         records = np.zeros((max(R, 1), 4), dtype=np.int32)
-        for start, n, rec, counts in pending:
+        cig_ops = cig_meta = None
+        if self.device_tb:
+            cig_ops = np.zeros((max(R, 1), TB_NOPS), dtype=np.int32)
+            cig_meta = np.full((max(R, 1), 4), -1, dtype=np.int32)
+        for start, n, rec, counts, cig in pending:
             records[start : start + n] = np.asarray(rec)[:n]
+            if cig is not None:
+                cig_ops[start : start + n] = np.asarray(cig[0])[:n]
+                cig_meta[start : start + n] = np.asarray(cig[1])[:n]
             if counts is not None:
                 # psum'd per-status decision counts from the mesh; padded
                 # reads land in status 0 (unmapped), subtract them
@@ -2313,7 +2499,10 @@ class TpuNativeEngine:
             self.n_fallback += n_fb * per
         t2 = time.perf_counter()
         self.stage_time["device collect"] += t2 - t1
-        self.native._finalize_se(reads, arm, rp, records[:R], stats, out)
+        self.native._finalize_se(
+            reads, arm, rp, records[:R], stats, out,
+            cig_ops=None if cig_ops is None else cig_ops[:R],
+            cig_meta=None if cig_meta is None else cig_meta[:R])
         self.stage_time["native stage-2"] += time.perf_counter() - t2
         return R
 

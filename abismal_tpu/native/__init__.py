@@ -211,6 +211,8 @@ def get_engine_lib() -> ctypes.CDLL:
             + [ctypes.c_void_p] * 4  # reads blob/offs, names blob/offs
             + [ctypes.c_int64, ctypes.c_int, ctypes.c_int]
             + [ctypes.c_void_p]  # records (n_reads, 4) i32
+            + [ctypes.c_void_p] * 2  # device cigar ops/meta (nullable)
+            + [ctypes.c_int64]  # tb_nops (ops row stride)
             + [ctypes.c_int, ctypes.c_void_p]
         )
         lib.engine_map_pe_batch.restype = ctypes.c_int64

@@ -2197,10 +2197,17 @@ void run_threads(Engine &E, int64_t n_items, int n_threads, Fn fn) {
 // stats (abismal.cpp:1435-1497 tail), or a full exact re-map for
 // REC_FALLBACK reads.
 // -----------------------------------------------------------------------
+// cig_ops/cig_meta (nullable): device-traceback output for REC_ALIGNED
+// rows (pipeline.py build_tb_block) -- run-length ops in WALK order plus
+// [n_ops, soft_bottom, soft_top, new_pos]; rows with n_ops < 0 (untraced
+// or op-buffer overflow) take the host traceback below, so coverage is
+// per-read, never all-or-nothing.
 void finalize_one_se(const Engine &E, Worker &w, const int32_t *rec,
                      int64_t ri, const uint8_t *name, int64_t name_len,
                      const uint8_t *read, int len, bool a_rich_mode,
-                     bool random_pbat) {
+                     bool random_pbat, const int32_t *cig_ops = nullptr,
+                     const int32_t *cig_meta = nullptr,
+                     int64_t tb_nops = 0) {
   const int status = rec[0] & 7;
   if (status == 3) {
     Events ev{};  // absent -> full native seeding + decide + align
@@ -2222,23 +2229,44 @@ void finalize_one_se(const Engine &E, Worker &w, const int32_t *rec,
     }
     else if (status == 2) {  // aligned winner: traceback + validity
       const int32_t max_diffs = diffs_cutoff(len, E.valid_frac);
-      // encode the winning query on demand (pick_pread semantics:
-      // fw -> encode(read, a_rich); rc -> encode(revcomp, !a_rich))
-      const uint8_t *q;
-      if (f & F_RC) {
-        revcomp_ascii(read, len, w.rcbuf[0]);
-        encode_read(w.rcbuf[0].data(), len, (f & F_A_RICH) == 0, w.buf[0]);
-        q = w.buf[0].data();
+      best = Elem{d, f, p};
+      int64_t aln_len, new_pos;
+      if (cig_ops && cig_meta && cig_meta[4 * ri] >= 0) {
+        // device traceback: reverse the walk-order runs, add the
+        // geometric soft clips (== build_traceback's assembly)
+        const int32_t *mrow = cig_meta + 4 * ri;
+        const int32_t *orow = cig_ops + tb_nops * ri;
+        const int n_ops = mrow[0];
+        const int64_t sb = mrow[1], st_ = mrow[2];
+        cig.n = 0;
+        if (st_ > 0)
+          cig.ops[cig.n++] = ((uint32_t)st_ << 4) | CIG_S;
+        for (int k = n_ops - 1; k >= 0; --k)
+          cig.ops[cig.n++] = (uint32_t)orow[k];
+        if (sb > 0)
+          cig.ops[cig.n++] = ((uint32_t)sb << 4) | CIG_S;
+        aln_len = len - sb - st_;
+        new_pos = (int64_t)(uint32_t)mrow[3];
       }
       else {
-        encode_read(read, len, (f & F_A_RICH) != 0, w.buf[0]);
-        q = w.buf[0].data();
+        // host traceback: encode the winning query on demand
+        // (pick_pread semantics: fw -> encode(read, a_rich);
+        // rc -> encode(revcomp, !a_rich))
+        const uint8_t *q;
+        if (f & F_RC) {
+          revcomp_ascii(read, len, w.rcbuf[0]);
+          encode_read(w.rcbuf[0].data(), len, (f & F_A_RICH) == 0,
+                      w.buf[0]);
+          q = w.buf[0].data();
+        }
+        else {
+          encode_read(read, len, (f & F_A_RICH) != 0, w.buf[0]);
+          q = w.buf[0].data();
+        }
+        StageTimer t(w.tns + 1);
+        w.aln.align(d, max_diffs, q, len, p, true);
+        w.aln.cigar_len_pos(d, cig, aln_len, new_pos, p);
       }
-      best = Elem{d, f, p};
-      StageTimer t(w.tns + 1);
-      w.aln.align(d, max_diffs, q, len, p, true);
-      int64_t aln_len, new_pos;
-      w.aln.cigar_len_pos(d, cig, aln_len, new_pos, p);
       best.p = (uint32_t)new_pos;
       best.d = edit_distance(scr, aln_len, cig);
       if (!(valid_len_ok(aln_len, len) && best.d <= max_diffs))
@@ -2398,8 +2426,9 @@ int64_t engine_se_finalize(void *eng, const uint8_t *reads_blob,
                            const uint8_t *names_blob,
                            const int64_t *name_offs, int64_t n_reads,
                            int a_rich_mode, int random_pbat,
-                           const int32_t *records, int n_threads,
-                           int64_t *stats_out) {
+                           const int32_t *records, const int32_t *cig_ops,
+                           const int32_t *cig_meta, int64_t tb_nops,
+                           int n_threads, int64_t *stats_out) {
   Engine &E = *(Engine *)eng;
   int max_len = 1;
   for (int64_t i = 0; i < n_reads; ++i)
@@ -2413,7 +2442,8 @@ int64_t engine_se_finalize(void *eng, const uint8_t *reads_blob,
                       name_offs[ri + 1] - name_offs[ri],
                       reads_blob + read_offs[ri],
                       (int)(read_offs[ri + 1] - read_offs[ri]),
-                      a_rich_mode != 0, random_pbat != 0);
+                      a_rich_mode != 0, random_pbat != 0, cig_ops,
+                      cig_meta, tb_nops);
     }
   });
   sum_stats(E, stats_out, 6);

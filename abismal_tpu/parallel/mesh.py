@@ -68,15 +68,26 @@ def shard_stage12(stage12, mesh):
 
     def wrapped(tables, pnib, lens, is_ga, scode, max_diffs_r):
         def inner(tables, pnib, lens, is_ga, scode, max_diffs_r):
-            rec = stage12(*tables, pnib, lens, is_ga, scode, max_diffs_r)
+            out = stage12(*tables, pnib, lens, is_ga, scode, max_diffs_r)
+            rec = out[0] if isinstance(out, tuple) else out
             st = rec[:, 0] & 7
             counts = jnp.stack([jnp.sum(st == s) for s in range(4)])
-            return rec, jax.lax.psum(counts, "data")
+            counts = jax.lax.psum(counts, "data")
+            if isinstance(out, tuple):  # device traceback: + ops, meta
+                return rec, out[1], out[2], counts
+            return rec, counts
 
+        # probe the output arity (rec alone, or rec + traceback ops/meta)
+        # without running the device program
+        probe = jax.eval_shape(
+            lambda tb, *a: stage12(*tb, *a), tables, pnib, lens, is_ga,
+            scode, max_diffs_r)
+        n_out = len(probe) if isinstance(probe, tuple) else 1
+        outs = (P("data", None),) * n_out + (rep,)
         return shard_map(
             inner, mesh=mesh,
             in_specs=(rep, sh, sh, sh, rep, sh),
-            out_specs=(P("data", None), rep),
+            out_specs=outs,
             check_rep=False,
         )(tables, pnib, lens, is_ga, scode, max_diffs_r)
 

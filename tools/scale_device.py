@@ -133,10 +133,15 @@ def main():
     }
     print("candidates/unit:", res["candidates_per_unit"], flush=True)
 
-    # informed POOLED budget: 4x the measured mean (the budget is a batch
-    # -global pool, so the tail doesn't matter, only the sum); the auto
-    # estimate is recorded above for comparison
-    informed = max(64, (int(4 * ut.mean()) + 63) & ~63)
+    # informed POOLED budget: 1.25x the measured mean, matching the
+    # engine's own estimate_cand_budget.  The budget is a batch-global
+    # pool: unit counts concentrate (CLT) so the sum rarely exceeds
+    # ~1.05x the mean, spills fall back to the exact host path (counted
+    # in engine_fallback_frac), and every per-candidate pass -- the
+    # three row gathers, the Pallas compare, the compactions -- costs
+    # wall-clock LINEARLY in the padded pool, so the old 4x margin
+    # quadrupled the gather bill for nothing
+    informed = max(64, (int(1.25 * ut.mean()) + 63) & ~63)
     os.environ["ABISMAL_TPU_CAND_PER_UNIT"] = str(informed)
     res["informed_cand_budget_per_unit"] = informed
 
@@ -156,6 +161,14 @@ def main():
     res["stage12_ms_per_chunk"] = round(dt * 1e3, 2)
     res["stage12_us_per_unit"] = round(dt * 1e6 / B, 2)
     res["stage12_device_reads_per_s"] = round(rpc / dt, 1)
+    # fraction of units the informed pool spilled (those fall back to the
+    # exact host path; the budget/throughput tradeoff artifact).  NB:
+    # rebuilt under the informed env budget -- prog_u above used auto.
+    prog_u2, _ = build_stage12(eng.lmax, dev.max_candidates, dev.n_index2,
+                               dev.n_index3, per, cut="unitstats")
+    st2 = np.asarray(prog_u2(*dev.tables(), *targs))
+    res["informed_budget_overflow_frac"] = round(
+        float(st2[1][: len(units)].mean()), 5)
     print(f"stage12: {dt*1e3:.1f} ms/chunk "
           f"({res['stage12_device_reads_per_s']} reads/s device-only)",
           flush=True)
