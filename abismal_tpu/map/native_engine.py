@@ -95,6 +95,14 @@ class NativeMappingEngine:
             self.lib.engine_destroy(ctx)
             self._ctx = None
 
+    @property
+    def n_device_mated(self) -> int:
+        """Orientations whose mating decision came from the device-resident
+        sweep (apply_device_mate; tns slot 14)."""
+        ns = np.zeros(16, dtype=np.int64)
+        self.lib.engine_stage_ns(self._ctx, _ptr(ns), 0)
+        return int(ns[14])
+
     # ---- event plumbing (None for the pure-native engine) -----------------
     def _event_args(self, events):
         if events is None:

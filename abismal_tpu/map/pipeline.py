@@ -2124,6 +2124,11 @@ class TpuNativeEngine:
     def n_threads(self, v):
         self.native.n_threads = max(1, v)
 
+    @property
+    def n_device_mated(self):
+        """Orientations decided by the device-resident mating sweep."""
+        return self.native.n_device_mated
+
     # --- flat unit enumeration (canonical ids shared with _engine.cpp) ----
     def _se_units_flat(self, reads, a_rich_mode, random_pbat):
         from ..utils.dna import revcomp_str
@@ -2574,12 +2579,18 @@ class TpuNativeEngine:
             self.n_fallback += n_fb
         t2 = time.perf_counter()
         self.stage_time["device collect"] += t2 - t1
-        # the device mating sweep cannot model allow-ambig reporting of
-        # sure-ambig-truncated sweeps; hand those batches the host sweep
-        mate_arg = None if self.native.allow_ambig else mate_all[:n_pairs]
+        # The device sweep is live under -a (allow-ambig) too: ambiguous
+        # pairs ARE reported there, so the winner's identity matters for
+        # every pair -- but the only place the reference's mid-sweep
+        # sure-ambig truncation (abismal.cpp:1722-1831) can change the
+        # winner is a max-score tie with differing diff-sums, which the
+        # device flags in mate slot 9 and the host then replays with the
+        # exact injected-score sequential sweep (see build_stage12pe's
+        # fbm notes).  Below max score no truncation happens, so the
+        # device argmax equals the reference's final state.
         self.native._call_pe_slots(reads1, reads2, arm, rp, stats, out,
                                    pos_all[:n_units], ds_all[:n_units],
-                                   cnt_all[:n_units], mate_arg)
+                                   cnt_all[:n_units], mate_all[:n_pairs])
         self.stage_time["native stage-2"] += time.perf_counter() - t2
         return len(reads1)
 

@@ -1859,6 +1859,7 @@ bool map_fragments(const Engine &E, Worker &w, const Events &ev,
       // sweep below, which replays the exact sequential order
       bp = apply_device_mate(E, w, mrec, pread1, len1, pread2, len2, sc1,
                              sc2, best, swap_ends, nc1, nc2);
+      w.tns[14] += 1;  // orientations decided by the device sweep
     }
     else if (s1ok || s2ok) {
       // injected scores from the device slot table, looked up by
