@@ -202,11 +202,10 @@ def cmd_map(argv):
             print("--hosts/--shard require a prebuilt index (-i)",
                   file=sys.stderr)
             return 0
-        if a.engine != "native":
+        if a.engine not in ("native", "tpu"):
             print(f"--engine {a.engine} is not supported with "
-                  "--hosts/--shard: shard processes run the native engine "
-                  "(omit --engine, or drop --hosts/--shard to use the "
-                  "accelerator on this host)", file=sys.stderr)
+                  "--hosts/--shard: shard processes run the native or tpu "
+                  "engine", file=sys.stderr)
             return 1
         from .map.engine import _write_stats
 
@@ -220,7 +219,7 @@ def cmd_map(argv):
                 a_rich=a.a_rich, pbat=a.pbat, random_pbat=a.random_pbat,
                 allow_ambig=a.ambig, valid_frac=a.max_distance,
                 pe_min_dist=a.min_frag, pe_max_dist=a.max_frag,
-                bam=a.bam, verbose=a.verbose)
+                bam=a.bam, verbose=a.verbose, engine=a.engine)
         else:
             from .parallel.multihost import (
                 count_reads, map_shard, shard_bounds, _apply_stats,
@@ -236,7 +235,7 @@ def cmd_map(argv):
                 random_pbat=a.random_pbat, allow_ambig=a.ambig,
                 valid_frac=a.max_distance, pe_min_dist=a.min_frag,
                 pe_max_dist=a.max_frag, threads=max(1, a.threads),
-                bam=a.bam, verbose=a.verbose)
+                bam=a.bam, verbose=a.verbose, engine=a.engine)
             stats = PEStats() if paired else SEStats()
             _apply_stats(raw, paired, stats)
         _write_stats(stats, a.stats or None, a.json, paired, a.ambig)

@@ -408,18 +408,39 @@ def _make_core(lmax: int, max_candidates: int, n_index2: int,
         wmask = (jnp.arange(n_words, dtype=jnp.int32)[None, :]
                  < (2 * ((lens + 15) // 16))[:, None]).astype(jnp.int32)
 
-        # --- rolling hashes for every offset (AbismalIndex.hpp:271-305) ---
+        # --- rolling hashes for every offset (AbismalIndex.hpp:271-305),
+        # log-doubling windows: H_{w+v}(i) = H_w(i)*r^v + H_v(i+w) turns
+        # KEY_WEIGHT (25) + 2*KEY_WEIGHT_THREE (16) linear slice-combine
+        # steps into ~5+4 (each step one shifted slice + mul/or), the
+        # whole-array passes being the cost on TPU, not the arithmetic ---
+        def windowed_full(sym, width, radix):
+            """Sliding-window polynomial values of `sym` (base `radix`,
+            msd-first): h[:, i] = sum_j sym[i+j] * radix^(width-1-j),
+            via width doubling H_{w+v}(i) = H_w(i)*radix^v + H_v(i+w);
+            full valid length (sym_len - width + 1)."""
+            h = sym  # H_1
+            w = 1
+            while 2 * w <= width:
+                h = (h[:, : h.shape[1] - w] * np.uint32(radix ** w)
+                     + h[:, w:])
+                w *= 2
+            rem = width - w
+            if rem:
+                hr = windowed_full(sym, rem, radix)  # H_rem
+                n = min(h.shape[1], hr.shape[1] - w)
+                h = (h[:, :n] * np.uint32(radix ** rem)
+                     + hr[:, w : w + n])
+            return h
+
+        def windowed(sym, width, radix):
+            return windowed_full(sym, width, radix)[:, : o_sens]
+
         bits = ((ip & 5) == 0).astype(jnp.uint32)
-        k2_all = jnp.zeros((B, o_sens), dtype=jnp.uint32)
-        for j in range(KEY_WEIGHT):
-            k2_all = (k2_all << 1) | bits[:, j : j + o_sens]
+        k2_all = windowed(bits, KEY_WEIGHT, 2)
         tct = ((((ip & 4) != 0) << 1) | ((ip & 1) != 0)).astype(jnp.uint32)
         tga = ((((ip & 8) != 0) << 1) | ((ip & 2) != 0)).astype(jnp.uint32)
-        k3t = jnp.zeros((B, o_sens), dtype=jnp.uint32)
-        k3a = jnp.zeros((B, o_sens), dtype=jnp.uint32)
-        for j in range(KEY_WEIGHT_THREE):
-            k3t = k3t * 3 + tct[:, j : j + o_sens]
-            k3a = k3a * 3 + tga[:, j : j + o_sens]
+        k3t = windowed(tct, KEY_WEIGHT_THREE, 3)
+        k3a = windowed(tga, KEY_WEIGHT_THREE, 3)
         k3_all = jnp.where(is_ga[:, None], k3a % HASH3_MOD, k3t % HASH3_MOD)
         if cut == "hash":  # profiling cut: pack + rolling hashes
             return dict(cut=jnp.stack(
@@ -583,6 +604,11 @@ def _make_core(lmax: int, max_candidates: int, n_index2: int,
             w0 = g0 >> np.uint32(3)
             row = (w0 >> np.uint32(6)).astype(jnp.int32)
             A = genome2o[row]  # 128-word rows: 63 + QW+1 <= 128 always
+            # the alignment roll only ever reads words [ow, ow + QW + 1)
+            # with ow < 64: clip the row before rolling (the roll's
+            # masked-shift passes are elementwise cost, ~40% of the
+            # extension loop body at lmax = 128)
+            A = A[:, : min(128, 64 + QW + 1)]
             ow = (w0 & np.uint32(63)).astype(jnp.int32)
             for s_ in (32, 16, 8, 4, 2, 1):
                 rolled = jnp.concatenate(
@@ -1121,10 +1147,13 @@ def build_stage12(lmax: int, max_candidates: int, n_index2: int,
     (host-computed: valid_frac is an arbitrary CLI float).
 
     device_tb (default env ABISMAL_TPU_DEVTB, on): also run the winner's
-    traceback on device; returns (rec, cig_ops (R, TB_NOPS) i32 runs in
-    walk order, cig_meta (R, 4) i32 [n_ops | -1, soft_bottom, soft_top,
-    new_pos]) -- the host reverses ops, adds soft clips and recovers NM
-    (edit_distance), with NO per-read aligner call."""
+    traceback on device; the output becomes ONE packed (R, 8 + TB_NOPS)
+    i32 row per read [rec(4) | cig_meta(4) | cig_ops(TB_NOPS)] with
+    cig_meta = [n_ops | -1, soft_bottom, soft_top, new_pos] and cig_ops
+    run-length codes in walk order -- the host reverses ops, adds soft
+    clips and recovers NM (edit_distance), with NO per-read aligner call.
+    (A single packed array keeps the device->host collect to one fetch
+    RPC per chunk.)"""
     from ..kernels.banded_align import BW_MAX, QOFF, build_banded_scorer
 
     cand_per_unit = _resolve_cand_budget(cand_per_unit, n_index2, n_index3,
@@ -1216,7 +1245,9 @@ def build_stage12(lmax: int, max_candidates: int, n_index2: int,
         c_at = jnp.concatenate([c_exc, c_inc[-1:]])
         base = c_at[rst_c]
         n_nonex = c_at[rend] - base
-        heap_fb = n_nonex > 48  # 49 inserts fill the 50-slot heap
+        # 49 non-exact inserts fill the 50-slot heap (sentinel occupies
+        # slot 0); refined below by the sure-ambig abort argument
+        heap_would_fill = n_nonex > 48
         # propagate each read's base along its candidate span with an
         # R-update mark + running max (base is non-decreasing), not a
         # per-candidate gather
@@ -1238,13 +1269,18 @@ def build_stage12(lmax: int, max_candidates: int, n_index2: int,
         # IUPAC genome nibbles can drive the popcount distance negative,
         # and a raw negative d would smear sign bits over scode
         scd = (scode_cand << 10) | ((d + 512) & 1023)
+        # column 3 carries the global candidate (discovery) index: the
+        # sure-ambig refinement below compares discovery times of the
+        # ambiguity-setting exact event and the heap-filling insert
+        cidx = jnp.arange(ncand, dtype=jnp.int32)
         fillK = jnp.concatenate(
             [jnp.full((NTOT + 1, 1), -1, jnp.int32),  # -1 == POS_EMPTY
              jnp.full((NTOT + 1, 1), 0x7FFFFFFF, jnp.int32),
-             jnp.full((NTOT + 1, 1), R, jnp.int32)], axis=1)
+             jnp.full((NTOT + 1, 1), R, jnp.int32),
+             jnp.full((NTOT + 1, 1), 0x7FFFFFFF, jnp.int32)], axis=1)
         slotsA = fillK.at[dest].set(jnp.stack(
-            [jax.lax.bitcast_convert_type(pos, jnp.int32), scd, r_of],
-            axis=1))
+            [jax.lax.bitcast_convert_type(pos, jnp.int32), scd, r_of,
+             cidx], axis=1))
 
         # exact pool reductions (EXP-sized): pool slots ascend with
         # candidate index, so first-in-discovery-order = min slot per read
@@ -1263,6 +1299,32 @@ def build_stage12(lmax: int, max_candidates: int, n_index2: int,
         xr_c = jnp.minimum(xr, R - 1)
         mism = xv & ((xpos != e_pos0[xr_c]) | (xsc != e_s0[xr_c]))
         ex_ambig = jnp.zeros(R + 1, bool).at[xr].max(mism)[:R]
+
+        # --- sure-ambig heap-fill refinement: the reference ABORTS a
+        # read's seeding the moment a second distinct exact match is
+        # accepted (res.sure_ambig, checked per candidate in check_hits,
+        # abismal.cpp:1133), and an exact-match read's output never
+        # consults the candidate heap (align_se_candidates returns
+        # res.best immediately, abismal.cpp:1443-1447).  So when the
+        # ambiguity-setting exact event is discovered BEFORE the 49th
+        # accepted non-exact insert (the heap fill), the heap never
+        # fills in the reference and the constant-cutoff model stays
+        # exact: every post-abort event is dead except that it could
+        # only re-set the already-set ambiguity bit.  Those reads --
+        # repeat-region reads, the dominant heap-fill class -- need no
+        # host fallback.  (Before the fill no eviction happens, so the
+        # exact track itself is eviction-independent here even with
+        # IUPAC-negative diffs.)
+        INF32 = 0x7FFFFFFF
+        xidx = xpool[:, 3]
+        idx_amb = jnp.full(R + 1, INF32, jnp.int32).at[xr].min(
+            jnp.where(mism, xidx, INF32))[:R]
+        # slot 48 of the (pre-sort) slot table holds the 49th accepted
+        # non-exact candidate's discovery index (K = 50 covers it; a
+        # smaller experimental K disables the refinement)
+        idx_fill = (slotsA[: R * K, 3].reshape(R, K)[:, 48] if K > 48
+                    else jnp.full(R, -1, jnp.int32))
+        heap_fb = heap_would_fill & ~(ex_ambig & (idx_amb < idx_fill))
 
         # dedup-sort by (pos, flags) (prepare_for_alignments,
         # abismal.cpp:429-439); empty slots sort last (pos = u32 max
@@ -1386,6 +1448,10 @@ def build_stage12(lmax: int, max_candidates: int, n_index2: int,
 
         # --- per-read records ---
         unit_fb = jnp.any(overflow.reshape(R, per), axis=1)
+        if cut == "fbstats":  # diagnostics: per-read fallback causes
+            return jnp.stack(
+                [unit_fb, heap_would_fill, heap_fb, job_fb, bw_over,
+                 ex_over, has_ex, ex_ambig], axis=1).astype(jnp.int32)
         fb = (unit_fb | heap_fb | job_fb | bw_over | ex_over
               | ((rlen > 0) & (rlen < DEVICE_MIN_LEN)))
         aligned = (~has_ex) & (M > 0)
@@ -1446,7 +1512,10 @@ def build_stage12(lmax: int, max_candidates: int, n_index2: int,
         win2 = nib2[:, :WW3]
         opsR, meta = tb_block(q2, win2, wbw, wqsz, wpos,
                               jnp.pad(do_tb, (0, padR)))
-        return rec, opsR[:R], meta[:R]
+        # ONE packed output row per read: [rec(4) | meta(4) | ops(NOPS)].
+        # A single device->host fetch per chunk (each fetch RPC costs a
+        # full tunnel round trip, so three arrays tripled collect latency)
+        return jnp.concatenate([rec, meta[:R], opsR[:R]], axis=1)
 
     result = (jax.jit(stage12), o_spec)
     _stage12_memo[memo_key] = result
@@ -1481,14 +1550,16 @@ def build_stage12pe(lmax: int, max_candidates: int, n_index2: int,
     beyond the Pallas kernel's BW_MAX.
 
     stage12pe(genome32, genome2o, counter2, counter3, index_all, pnib,
-              lens, is_ga, max_diffs_u, pe_dist) ->
-      pos  (B, K) u32    candidate genome positions, discovery order
-      ds   (B, K) i32    (diffs << 16) | (score & 0xFFFF)
-      cnt  (B,)   i32    accepted count, or -1 => native-seeding fallback
-      mate (B/per, O*10) i32  per-orientation local mating sweeps (the
+              lens, is_ga, max_diffs_u, pe_dist) -> (B, 2K + 6) i32,
+    one packed row per unit [pos(K) | ds(K) | cnt | mate-slice(5)]:
+      pos  K u32 bitcast  candidate genome positions, discovery order
+      ds   K i32          (diffs << 16) | (score & 0xFFFF)
+      cnt  1 i32          accepted count, or -1 => native-seeding fallback
+      mate 5 i32          unit per*r + u carries mate[r, 5u:5u+5] of the
+           (B/per, O*10) per-orientation local mating sweep records (the
            device-resident best_pair; see the inline exactness notes)
     pe_dist: (2,) i32 = (pe_min, pe_max) concordance window bounds.
-    """
+    One packed array = one device->host fetch RPC per chunk."""
     from ..kernels.banded_align import BW_MAX, QOFF, build_banded_scorer
 
     cand_per_unit = _resolve_cand_budget(cand_per_unit, n_index2, n_index3,
@@ -1708,8 +1779,13 @@ def build_stage12pe(lmax: int, max_candidates: int, n_index2: int,
             ], axis=1))
         mate = jnp.concatenate(recs, axis=1)  # (Rp, O*10)
 
-        return (jax.lax.bitcast_convert_type(posKm, jnp.int32), ds, cnt,
-                mate)
+        # ONE packed (B, 2K + 6) i32 output row per unit:
+        # [pos(K) | ds(K) | cnt(1) | mate-slice(5)] -- unit per*r + u
+        # carries mate[r, 5u : 5u+5] (O*10 == 5*per always), so the whole
+        # chunk collects in a single fetch RPC
+        return jnp.concatenate(
+            [jax.lax.bitcast_convert_type(posKm, jnp.int32), ds,
+             cnt[:, None], mate.reshape(B, 5)], axis=1)
 
     result = (jax.jit(stage12pe), o_spec)
     _stage12pe_memo[memo_key] = result
@@ -2293,8 +2369,16 @@ class TpuNativeEngine:
 
     def _budget_for(self, units, is_ga_pat, per):
         """Workload-informed candidate budget, measured once on the first
-        batch's units (estimate_cand_budget)."""
+        batch's units (estimate_cand_budget).  units: a list of per-unit
+        nibble arrays, or a (pnib, lens_u) packed matrix pair from
+        _se_units_mat."""
         if self.cand_budget is None:
+            if isinstance(units, tuple):
+                pnib, lens_u = units
+                unp = np.empty((pnib.shape[0], 2 * pnib.shape[1]), np.uint8)
+                unp[:, 0::2] = pnib & np.uint8(0xF)
+                unp[:, 1::2] = pnib >> np.uint8(4)
+                units = [unp[i, : lens_u[i]] for i in range(pnib.shape[0])]
             is_ga = [bool(is_ga_pat[i % per]) for i in range(len(units))]
             self.cand_budget = estimate_cand_budget(
                 self._host_counters, self.dev.max_candidates, units, is_ga,
@@ -2381,6 +2465,63 @@ class TpuNativeEngine:
                 units.append(prep_read(rc, True))
         return units, per, oversized
 
+    @staticmethod
+    def _ascii_matrices(seqs, lmax):
+        """(R, lmax) u8 ASCII matrix, its row-wise reverse complement,
+        and per-read lengths, from a list of byte strings.  Callers must
+        pre-blank oversized entries (b""); byte-level ljust joins beat
+        NumPy scatter layouts ~6x here.  REVCOMP_TABLE maps \\0 -> 'N',
+        so the reversed matrix's padding is re-zeroed from the forward
+        matrix's zero columns cheaply."""
+        from ..utils.dna import REVCOMP_TABLE
+
+        R = len(seqs)
+        lens = np.fromiter((len(s) if s else 0 for s in seqs),
+                           dtype=np.int64, count=R)
+        pad = b"\x00" * lmax
+        A = np.frombuffer(
+            b"".join((s or pad).ljust(lmax, b"\x00") for s in seqs)
+            or pad, dtype=np.uint8).reshape(max(R, 1), lmax)
+        Arc = REVCOMP_TABLE[np.frombuffer(
+            b"".join((s[::-1] or pad).ljust(lmax, b"\x00") for s in seqs)
+            or pad, dtype=np.uint8).reshape(max(R, 1), lmax)]
+        Arc[A == 0] = 0
+        return A, Arc, lens
+
+    def _se_units_mat(self, reads, a_rich_mode, random_pbat):
+        """Vectorized _se_units_dense: returns (pnib, lens_u, per,
+        oversized) with the read-ASCII -> encoded-unit -> packed-nibble
+        pipeline done in whole-batch NumPy ops (the per-read Python loop
+        cost ~8 us/read, more than the whole native engine's budget)."""
+        from ..utils.dna import ENCODE_A_RICH, ENCODE_T_RICH
+
+        per = 4 if random_pbat else 2
+        R = len(reads)
+        seqs = [s for _, s in reads]
+        oversized = np.fromiter(
+            (bool(s) and len(s) > self.lmax for s in seqs),
+            dtype=bool, count=R)
+        if oversized.any():
+            seqs = [b"" if o else s for s, o in zip(seqs, oversized)]
+        A, Arc, L = self._ascii_matrices(seqs, self.lmax)
+        W = self.lmax + 32  # upload guard columns (prepare_units layout)
+        B = per * max(R, 1)
+        U = np.zeros((B, W), np.uint8)
+        if not random_pbat:
+            ef, er = ((ENCODE_A_RICH, ENCODE_T_RICH) if a_rich_mode
+                      else (ENCODE_T_RICH, ENCODE_A_RICH))
+            U[0::2, : self.lmax] = ef[A]
+            U[1::2, : self.lmax] = er[Arc]
+        else:
+            U[0::4, : self.lmax] = ENCODE_T_RICH[A]
+            U[1::4, : self.lmax] = ENCODE_A_RICH[A]
+            U[2::4, : self.lmax] = ENCODE_T_RICH[Arc]
+            U[3::4, : self.lmax] = ENCODE_A_RICH[Arc]
+        # encoding tables map \0 to 0, so zero-padded tails stay zero
+        pnib = U[:, 0::2] | (U[:, 1::2] << np.uint8(4))
+        lens_u = np.repeat(L, per).astype(np.int32)
+        return pnib, lens_u, per, oversized
+
     def _pe_units_dense(self, reads1, reads2, a_rich_mode, random_pbat):
         """Dense PE layout for build_stage12pe: every pair occupies
         exactly `per` consecutive unit rows in _pe_units_flat order
@@ -2408,6 +2549,46 @@ class TpuNativeEngine:
                 units.append(prep_read(rc1, not conv) if r1 else empty_row)
         return units, per, oversized
 
+    def _pe_units_mat(self, reads1, reads2, a_rich_mode, random_pbat):
+        """Vectorized _pe_units_dense: (pnib, lens_u, per, oversized)
+        in the _pe_units_flat row order, whole-batch NumPy."""
+        from ..utils.dna import ENCODE_A_RICH, ENCODE_T_RICH
+
+        per = 8 if random_pbat else 4
+        R = len(reads1)
+        s1 = [s for _, s in reads1]
+        s2 = [s for _, s in reads2]
+        oversized = np.fromiter(
+            ((bool(a) and len(a) > self.lmax)
+             or (bool(b) and len(b) > self.lmax)
+             for a, b in zip(s1, s2)), dtype=bool, count=R)
+        if oversized.any():
+            s1 = [b"" if o else s for s, o in zip(s1, oversized)]
+            s2 = [b"" if o else s for s, o in zip(s2, oversized)]
+        A1, Arc1, L1 = self._ascii_matrices(s1, self.lmax)
+        A2, Arc2, L2 = self._ascii_matrices(s2, self.lmax)
+        W = self.lmax + 32
+        B = per * max(R, 1)
+        U = np.zeros((B, W), np.uint8)
+        convs = [a_rich_mode] if not random_pbat else [False, True]
+        for ci, conv in enumerate(convs):
+            e1, e2 = ((ENCODE_A_RICH, ENCODE_T_RICH) if conv
+                      else (ENCODE_T_RICH, ENCODE_A_RICH))
+            o = 4 * ci
+            U[o + 0 :: per, : self.lmax] = e1[A1]
+            U[o + 1 :: per, : self.lmax] = e1[Arc2]
+            U[o + 2 :: per, : self.lmax] = e2[A2]
+            U[o + 3 :: per, : self.lmax] = e2[Arc1]
+        pnib = U[:, 0::2] | (U[:, 1::2] << np.uint8(4))
+        lens_u = np.zeros(B, np.int32)
+        for ci in range(len(convs)):
+            o = 4 * ci
+            lens_u[o + 0 :: per] = L1
+            lens_u[o + 1 :: per] = L2
+            lens_u[o + 2 :: per] = L2
+            lens_u[o + 3 :: per] = L1
+        return pnib, lens_u, per, oversized
+
     @staticmethod
     def _pe_is_ga_pattern(a_rich_mode, random_pbat):
         """Per-unit conversion (G->A table?) flags in _pe_units_flat
@@ -2422,22 +2603,23 @@ class TpuNativeEngine:
         return np.array(pat, dtype=bool)
 
     def _dispatch_se_stage12(self, reads, a_rich_mode, random_pbat):
-        units, per, oversized = self._se_units_dense(reads, a_rich_mode,
-                                                     random_pbat)
+        pnib_all, lens_all, per, oversized = self._se_units_mat(
+            reads, a_rich_mode, random_pbat)
         scode_pat = self._se_scode_pattern(a_rich_mode, random_pbat)
         is_ga_pat = np.array([get_conv_is_ga(int(c)) for c in scode_pat],
                              dtype=bool)
-        prog = self._stage12_prog(per,
-                                  self._budget_for(units, is_ga_pat, per))
+        prog = self._stage12_prog(
+            per, self._budget_for((pnib_all, lens_all), is_ga_pat, per))
         q = per * self.n_shards  # batch quantum (units/read x mesh axis)
         B = max(q, self.unit_batch - (self.unit_batch % q))
         rpc = B // per  # reads per chunk
         pending = []
         for start in range(0, len(reads), rpc):
-            chunk = units[start * per : (start + rpc) * per]
-            n = len(chunk) // per
-            preads, lens = prepare_units(chunk, self.lmax)
-            pad = B - len(chunk)
+            n = min(rpc, len(reads) - start)
+            nu = n * per
+            preads = pnib_all[start * per : start * per + nu]
+            lens = lens_all[start * per : start * per + nu]
+            pad = B - nu
             if pad:
                 preads = np.pad(preads, ((0, pad), (0, 0)))
                 lens = np.pad(lens, (0, pad))
@@ -2447,47 +2629,30 @@ class TpuNativeEngine:
             max_diffs_r = (self.valid_frac
                            * lens_r.astype(np.float64)).astype(np.int32)
             is_ga = np.tile(is_ga_pat, rpc)
-            cig = None
             if self.mesh is not None:
-                if self.device_tb:
-                    rec, ops_a, meta_a, counts = prog(
-                        self._tables, preads, lens, is_ga, scode_pat,
-                        max_diffs_r)
-                    cig = (ops_a, meta_a)
-                else:
-                    rec, counts = prog(self._tables, preads, lens, is_ga,
-                                       scode_pat, max_diffs_r)
+                rec, counts = prog(self._tables, preads, lens, is_ga,
+                                   scode_pat, max_diffs_r)
             else:
-                out_p = prog(*self.dev.tables(), preads, lens, is_ga,
-                             scode_pat, max_diffs_r)
-                if self.device_tb:
-                    rec, ops_a, meta_a = out_p
-                    cig = (ops_a, meta_a)
-                else:
-                    rec = out_p
+                rec = prog(*self.dev.tables(), preads, lens, is_ga,
+                           scode_pat, max_diffs_r)
                 counts = None
-            for a in (rec,) + (cig or ()):
-                try:
-                    a.copy_to_host_async()
-                except (AttributeError, RuntimeError):
-                    pass
-            pending.append((start, n, rec, counts, cig))
+            try:
+                rec.copy_to_host_async()
+            except (AttributeError, RuntimeError):
+                pass
+            pending.append((start, n, rec, counts))
         return (reads, a_rich_mode, random_pbat, per, pending, oversized)
 
     def _finish_se_stage12(self, handle, stats, out):
         reads, arm, rp, per, pending, oversized = handle
         t1 = time.perf_counter()
         R = len(reads)
-        records = np.zeros((max(R, 1), 4), dtype=np.int32)
-        cig_ops = cig_meta = None
+        W = 8 + TB_NOPS if self.device_tb else 4
+        packed = np.zeros((max(R, 1), W), dtype=np.int32)
         if self.device_tb:
-            cig_ops = np.zeros((max(R, 1), TB_NOPS), dtype=np.int32)
-            cig_meta = np.full((max(R, 1), 4), -1, dtype=np.int32)
-        for start, n, rec, counts, cig in pending:
-            records[start : start + n] = np.asarray(rec)[:n]
-            if cig is not None:
-                cig_ops[start : start + n] = np.asarray(cig[0])[:n]
-                cig_meta[start : start + n] = np.asarray(cig[1])[:n]
+            packed[:, 4] = -1  # meta n_ops sentinel for padded rows
+        for start, n, rec, counts in pending:
+            packed[start : start + n] = np.asarray(rec)[:n]
             if counts is not None:
                 # psum'd per-status decision counts from the mesh; padded
                 # reads land in status 0 (unmapped), subtract them
@@ -2495,6 +2660,11 @@ class TpuNativeEngine:
                 c[0] -= np.asarray(rec).shape[0] - n
                 with self._counter_lock:
                     self.device_decisions += c
+        records = packed[:, :4]
+        cig_ops = cig_meta = None
+        if self.device_tb:
+            cig_meta = np.ascontiguousarray(packed[:, 4:8])
+            cig_ops = np.ascontiguousarray(packed[:, 8:])
         idx = np.flatnonzero(oversized)
         if idx.size:
             records[idx] = np.array([REC_FALLBACK, 0, 0, 0], dtype=np.int32)
@@ -2513,12 +2683,11 @@ class TpuNativeEngine:
 
     def _dispatch_pe_stage12(self, reads1, reads2, a_rich_mode,
                              random_pbat):
-        units, per, oversized = self._pe_units_dense(reads1, reads2,
-                                                     a_rich_mode,
-                                                     random_pbat)
+        pnib_all, lens_all, per, oversized = self._pe_units_mat(
+            reads1, reads2, a_rich_mode, random_pbat)
         is_ga_pat = self._pe_is_ga_pattern(a_rich_mode, random_pbat)
         prog = self._stage12pe_prog(
-            per, self._budget_for(units, is_ga_pat, per))
+            per, self._budget_for((pnib_all, lens_all), is_ga_pat, per))
         pe_dist = np.array([self.native.pe_min_dist, self.native.pe_max_dist],
                            dtype=np.int32)
         q = per * self.n_shards
@@ -2526,9 +2695,9 @@ class TpuNativeEngine:
         ppc = B // per  # pairs per chunk
         pending = []
         for start in range(0, len(reads1), ppc):
-            chunk = units[start * per : (start + ppc) * per]
-            n = len(chunk)
-            preads, lens = prepare_units(chunk, self.lmax)
+            n = min(ppc, len(reads1) - start) * per
+            preads = pnib_all[start * per : start * per + n]
+            lens = lens_all[start * per : start * per + n]
             pad = B - n
             if pad:
                 preads = np.pad(preads, ((0, pad), (0, 0)))
@@ -2538,17 +2707,16 @@ class TpuNativeEngine:
                            * lens.astype(np.float64)).astype(np.int32)
             is_ga = np.tile(is_ga_pat, B // per)
             if self.mesh is not None:
-                posK, ds, cnt, mate, _fb = prog(self._tables, preads, lens,
-                                                is_ga, max_diffs_u, pe_dist)
+                pk, _fb = prog(self._tables, preads, lens, is_ga,
+                               max_diffs_u, pe_dist)
             else:
-                posK, ds, cnt, mate = prog(*self.dev.tables(), preads, lens,
-                                           is_ga, max_diffs_u, pe_dist)
-            for a in (posK, ds, cnt, mate):
-                try:
-                    a.copy_to_host_async()
-                except (AttributeError, RuntimeError):
-                    pass
-            pending.append((start, n, posK, ds, cnt, mate))
+                pk = prog(*self.dev.tables(), preads, lens, is_ga,
+                          max_diffs_u, pe_dist)
+            try:
+                pk.copy_to_host_async()
+            except (AttributeError, RuntimeError):
+                pass
+            pending.append((start, n, pk))
         return (reads1, reads2, a_rich_mode, random_pbat, per, pending,
                 oversized)
 
@@ -2559,17 +2727,18 @@ class TpuNativeEngine:
         n_pairs = len(reads1)
         K = 32
         O10 = (per // 2) * 10
-        pos_all = np.zeros((max(n_units, 1), K), dtype=np.uint32)
-        ds_all = np.zeros((max(n_units, 1), K), dtype=np.int32)
-        cnt_all = np.full(max(n_units, 1), -1, dtype=np.int32)
-        mate_all = np.zeros((max(n_pairs, 1), O10), dtype=np.int32)
-        for start, n, posK, ds, cnt, mate in pending:
+        packed = np.zeros((max(n_units, 1), 2 * K + 6), dtype=np.int32)
+        packed[:, 2 * K] = -1  # cnt sentinel for rows with no chunk
+        for start, n, pk in pending:
             s = start * per
-            pos_all[s : s + n] = np.asarray(posK)[:n].view(np.uint32)
-            ds_all[s : s + n] = np.asarray(ds)[:n]
-            cnt_all[s : s + n] = np.asarray(cnt)[:n]
-            mate_all[start : start + n // per] = np.asarray(
-                mate)[: n // per]
+            packed[s : s + n] = np.asarray(pk)[:n]
+        pos_all = np.ascontiguousarray(packed[:, :K]).view(np.uint32)
+        ds_all = np.ascontiguousarray(packed[:, K : 2 * K])
+        cnt_all = np.ascontiguousarray(packed[:, 2 * K])
+        mate_all = np.zeros((max(n_pairs, 1), O10), dtype=np.int32)
+        if n_pairs:
+            mate_all[:] = packed[: n_pairs * per, 2 * K + 1 :].reshape(
+                n_pairs, O10)
         idx = np.flatnonzero(oversized)
         for ri in idx:
             cnt_all[ri * per : (ri + 1) * per] = -1

