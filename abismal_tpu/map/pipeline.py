@@ -1221,22 +1221,34 @@ def build_stage12(lmax: int, max_candidates: int, n_index2: int,
         # --- exact-match tracking (update_exact_match,
         # abismal.cpp:347-355): first exact event in discovery order;
         # ambiguous iff any exact event at a different (pos, flags).
-        # Exact events are sparse (~3/read on the bench workload), so they
-        # compact into a pool and every reduction runs at pool size --
+        # Exact events pool into PER-READ slots (first EPR exact events
+        # of each read; slot = per-read exact rank from the prefix-sum
+        # machinery) so every reduction is a dense (R, EPR) vector op --
         # the direct (gflat -> R) scatter-min/max formulation cost 16
-        # ms/exec in scatter issue at gflat = 655k.  Reads whose exact
-        # events spill the pool fall back to the exact host path. ---
+        # ms/exec in scatter issue at gflat = 655k, and a round-4 GLOBAL
+        # pool starved later reads whenever one repeat-heavy read emitted
+        # hundreds of exact events.  Reads whose exact events overrun
+        # their EPR slots are still decided on device when the pooled
+        # prefix already proves ambiguity (see ex_over_fb below); only
+        # the undecided overruns take the exact host path. ---
         span = jnp.sum(unit_total.reshape(R, per), axis=1)
         rstart = jnp.cumsum(span) - span
         rend = jnp.minimum(rstart + span, ncand)
         rst_c = jnp.minimum(rstart, ncand)
-        EXP = int(os.environ.get("ABISMAL_TPU_EXACT_POOL",
-                                 max(1024, 8 * R)))
+        EPR = int(os.environ.get("ABISMAL_TPU_EXACT_PER_READ", 8))
         ex_at = jnp.concatenate(
             [jnp.zeros(1, jnp.int32), jnp.cumsum(is_ex.astype(jnp.int32))])
         ex_exc = ex_at[:-1]  # exclusive prefix per candidate
-        # reads whose exact events ran past the pool
-        ex_over = ex_at[rend] > jnp.maximum(EXP, ex_at[rst_c])
+        # per-read exact rank: the read's base exact-prefix propagated
+        # along its candidate span (same mark + running-max trick as the
+        # non-exact base below; ex_at is non-decreasing)
+        ex_base_of = jax.lax.associative_scan(
+            jnp.maximum,
+            jnp.zeros(ncand + 1, jnp.int32).at[rst_c].max(
+                ex_at[rst_c])[:ncand])
+        e_slot = ex_exc - ex_base_of
+        # reads with more exact events than slots
+        ex_over = (ex_at[rend] - ex_at[rst_c]) > EPR
 
         # --- non-exact candidate compaction into (R, K) slots ---
         nx = nonex.astype(jnp.int32)
@@ -1257,14 +1269,16 @@ def build_stage12(lmax: int, max_candidates: int, n_index2: int,
         slot_r = c_exc - base_of
         keep = nonex & (slot_r < K)
         # ONE row scatter serves BOTH compactions (they are disjoint):
-        # non-exact slots land in [0, R*K), exact-pool slots in
-        # [R*K, R*K+EXP), carrying (pos, scode << 10 | d, read).
+        # non-exact slots land in [0, R*K), per-read exact slots in
+        # [R*K, R*K + R*EPR), carrying (pos, scode << 10 | d, read).
         # Duplicate (pos, scode) slots provably share d (d is a function
         # of (unit, pos)), so packing d under the sort key cannot reorder.
-        NTOT = R * K + EXP
+        NTOT = R * K + R * EPR
         dest = jnp.where(
             keep, r_of * K + jnp.minimum(slot_r, K - 1),
-            jnp.where(is_ex & (ex_exc < EXP), R * K + ex_exc, NTOT))
+            jnp.where(is_ex & (e_slot < EPR),
+                      R * K + r_of * EPR + jnp.minimum(e_slot, EPR - 1),
+                      NTOT))
         # diffs biased by +512 into the 10-bit field (as stage1 does):
         # IUPAC genome nibbles can drive the popcount distance negative,
         # and a raw negative d would smear sign bits over scode
@@ -1282,23 +1296,17 @@ def build_stage12(lmax: int, max_candidates: int, n_index2: int,
             [jax.lax.bitcast_convert_type(pos, jnp.int32), scd, r_of,
              cidx], axis=1))
 
-        # exact pool reductions (EXP-sized): pool slots ascend with
-        # candidate index, so first-in-discovery-order = min slot per read
-        xpool = slotsA[R * K : NTOT]
-        xpos = jax.lax.bitcast_convert_type(xpool[:, 0], jnp.uint32)
-        xsc = xpool[:, 1] >> 10
-        xr = xpool[:, 2]  # fill = R = drop row
-        xv = xr < R
-        pslot = jnp.arange(EXP, dtype=jnp.int32)
-        first_slot = jnp.full(R + 1, EXP, jnp.int32).at[xr].min(
-            jnp.where(xv, pslot, EXP))[:R]
-        has_ex = first_slot < EXP
-        fs = jnp.minimum(first_slot, EXP - 1)
-        e_pos0 = xpos[fs]
-        e_s0 = xsc[fs]
-        xr_c = jnp.minimum(xr, R - 1)
-        mism = xv & ((xpos != e_pos0[xr_c]) | (xsc != e_s0[xr_c]))
-        ex_ambig = jnp.zeros(R + 1, bool).at[xr].max(mism)[:R]
+        # exact-slot reductions, dense (R, EPR): slot k holds the read's
+        # k-th exact event in discovery order (slot 0 = res.best)
+        xt = slotsA[R * K : NTOT].reshape(R, EPR, 4)
+        xpos = jax.lax.bitcast_convert_type(xt[:, :, 0], jnp.uint32)
+        xsc = xt[:, :, 1] >> 10
+        xv = xt[:, :, 2] < R  # fill rows carry read = R
+        has_ex = xv[:, 0]
+        e_pos0 = xpos[:, 0]
+        e_s0 = xsc[:, 0]
+        mism = xv & ((xpos != e_pos0[:, None]) | (xsc != e_s0[:, None]))
+        ex_ambig = jnp.any(mism, axis=1)
 
         # --- sure-ambig heap-fill refinement: the reference ABORTS a
         # read's seeding the moment a second distinct exact match is
@@ -1316,9 +1324,7 @@ def build_stage12(lmax: int, max_candidates: int, n_index2: int,
         # exact track itself is eviction-independent here even with
         # IUPAC-negative diffs.)
         INF32 = 0x7FFFFFFF
-        xidx = xpool[:, 3]
-        idx_amb = jnp.full(R + 1, INF32, jnp.int32).at[xr].min(
-            jnp.where(mism, xidx, INF32))[:R]
+        idx_amb = jnp.min(jnp.where(mism, xt[:, :, 3], INF32), axis=1)
         # slot 48 of the (pre-sort) slot table holds the 49th accepted
         # non-exact candidate's discovery index (K = 50 covers it; a
         # smaller experimental K disables the refinement)
@@ -1447,12 +1453,21 @@ def build_stage12(lmax: int, max_candidates: int, n_index2: int,
         amb0 = jnp.any(vh & (scrK == 0), axis=1) & (M == 0)
 
         # --- per-read records ---
+        # exact-pool spill refinement: pool slots fill in discovery order
+        # (the slot is the global exact prefix), so a read whose POOLED
+        # events already contain its first exact match AND a distinct
+        # second one is fully decided -- the record is (REC_EXACT, first
+        # exact's flags/pos, ambig), and every spilled (later) exact
+        # event could only re-set the already-set ambiguity bit
+        # (update_exact_match, abismal.cpp:347-355).  Only spills on
+        # reads NOT yet known-ambiguous need the exact host path.
+        ex_over_fb = ex_over & ~(has_ex & ex_ambig)
         unit_fb = jnp.any(overflow.reshape(R, per), axis=1)
         if cut == "fbstats":  # diagnostics: per-read fallback causes
             return jnp.stack(
                 [unit_fb, heap_would_fill, heap_fb, job_fb, bw_over,
-                 ex_over, has_ex, ex_ambig], axis=1).astype(jnp.int32)
-        fb = (unit_fb | heap_fb | job_fb | bw_over | ex_over
+                 ex_over_fb, has_ex, ex_ambig], axis=1).astype(jnp.int32)
+        fb = (unit_fb | heap_fb | job_fb | bw_over | ex_over_fb
               | ((rlen > 0) & (rlen < DEVICE_MIN_LEN)))
         aligned = (~has_ex) & (M > 0)
         status = jnp.where(fb, REC_FALLBACK,

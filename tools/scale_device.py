@@ -29,7 +29,45 @@ def main():
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
         "BENCH_SCALE.json"))
     ap.add_argument("--unit-batch", type=int, default=2048)
+    ap.add_argument("--warm-only", action="store_true",
+                    help="fresh-process persistent-cache measurement: "
+                         "rebuild the stage12 program for the shapes saved "
+                         "by a prior full run and time its first execution "
+                         "(cross-process compile-cache hit); updates the "
+                         "JSON in place")
     args = ap.parse_args()
+
+    if args.warm_only:
+        import time as _t
+
+        import numpy as np
+
+        from abismal_tpu.index.serialize import read_index
+        from abismal_tpu.map.pipeline import DeviceIndex, build_stage12
+
+        saved = np.load("/tmp/abismal_scale/warm_args.npz")
+        os.environ["ABISMAL_TPU_CAND_PER_UNIT"] = str(int(saved["informed"]))
+        t0 = _t.time()
+        index = read_index(args.index)
+        dev = DeviceIndex(index)
+        for t in dev.tables():
+            t.block_until_ready()
+        setup_s = _t.time() - t0
+        prog, _ = build_stage12(128, dev.max_candidates, dev.n_index2,
+                                dev.n_index3, 2)
+        t0 = _t.time()
+        out = prog(*dev.tables(), *[saved[k] for k in
+                                    ("preads", "lens", "is_ga", "scode",
+                                     "md")])
+        np.asarray(out)
+        warm = round(_t.time() - t0, 2)
+        print(f"warm first exec {warm}s (setup {setup_s:.1f}s)", flush=True)
+        res = json.load(open(args.out))
+        res["stage12_warm_cache_first_exec_s"] = warm
+        with open(args.out, "w") as f:
+            json.dump(res, f, indent=1)
+        print(f"updated {args.out}", flush=True)
+        return
 
     import numpy as np
 
@@ -96,7 +134,8 @@ def main():
               flush=True)
 
     eng = TpuNativeEngine(index, lmax=128, unit_batch=args.unit_batch,
-                          n_threads=1, device_index=dev)
+                          n_threads=os.cpu_count() or 1,
+                          device_index=dev)
 
     # --- per-unit candidate distribution + stage-1 overflow at scale ---
     rl = ReadLoader(fq, batch_size=args.unit_batch // 2)
@@ -173,6 +212,15 @@ def main():
           f"({res['stage12_device_reads_per_s']} reads/s device-only)",
           flush=True)
 
+    # --- compile-cost story (VERDICT r4 ask #9): cold first-exec time is
+    # measured above (stage12_first_exec_s); the warm cross-process
+    # persistent-cache reload is measured by re-invoking this tool with
+    # --warm-only in a FRESH process after this one exits (two live
+    # device clients can wedge the tunnel) -- save the exact exec args
+    np.savez(os.path.join(fqdir, "warm_args.npz"), preads=preads,
+             lens=lens, is_ga=is_ga, scode=scode, md=max_diffs_r,
+             informed=np.int64(informed))
+
     # --- end-to-end engine rate at scale (device stage-1+2 + native
     # finalize), md5-agnostic (no golden at this scale): fallback units
     # re-seed natively inside the library so output would stay exact ---
@@ -189,9 +237,10 @@ def main():
         return eng  # reuse the uploaded tables
 
     fac.is_native = True
-    run_map(index, fq, None, sam, None, cl, engine_factory=fac, threads=1)
+    thr = os.cpu_count() or 1
+    run_map(index, fq, None, sam, None, cl, engine_factory=fac, threads=thr)
     t0 = time.time()
-    run_map(index, fq, None, sam, None, cl, engine_factory=fac, threads=1)
+    run_map(index, fq, None, sam, None, cl, engine_factory=fac, threads=thr)
     dt = time.time() - t0
     res["engine_tpu_reads_per_s"] = round(args.reads / dt, 1)
     res["engine_fallback_frac"] = round(
