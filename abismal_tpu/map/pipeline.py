@@ -75,7 +75,10 @@ def estimate_cand_budget(counters, max_candidates: int, units, is_ga,
     """Workload-informed per-unit candidate budget: replays the seeding
     policy's bucket-size checks in NumPy over a sample of real units
     (keys via rolling hashes, sizes via the counter prefix arrays) and
-    sizes the POOLED device budget at ~1.25x the measured mean.
+    sizes the POOLED device budget at ~1.1x the measured mean.  Returns
+    (budget, ext_lanes_per_unit): the second term is the measured mean
+    of oversized specific-phase buckets per unit, from which the engine
+    sizes the extension pool (None when no units were measurable).
 
     Every per-candidate device op is gather-issue-bound, so overshooting
     the budget costs wall-clock linearly; the density heuristic
@@ -89,6 +92,7 @@ def estimate_cand_budget(counters, max_candidates: int, units, is_ga,
     c2, ct, ca = (c.astype(np.int64) for c in counters)
     mc = max_candidates
     tot = 0.0
+    ext_tot = 0.0
     n = 0
     step = max(1, len(units) // sample)
     for i in range(0, len(units), step):
@@ -110,14 +114,22 @@ def estimate_cand_budget(counters, max_candidates: int, units, is_ga,
         # (d2 <= 10*d3) is ignored (upper bound)
         est += s2[(s2 <= mc)].sum() + s3[(s3 <= mc)].sum()
         tot += float(est)
+        # oversized specific-phase buckets are the extension pool's
+        # demand (one lane each); measured 0.01/unit at a 1 GB index vs
+        # the 512-lane static default, and every bisection probe costs
+        # vector lanes proportional to the pool
+        ext_tot += float((s2[:o_sp] > mc).sum() + (s3[:o_sp] > mc).sum())
         n += 1
     if n == 0:
-        return 64
+        return 64, None
     mean = tot / n
     # the pool is GLOBAL over the batch, so the margin only covers batch-
-    # to-batch drift of the mean (not per-unit variance); spills cost an
-    # exact host remap of the tail units, never correctness
-    return int(min(8192, max(64, (int(mean * 1.25) + 63) & ~63)))
+    # to-batch drift of the mean (not per-unit variance; over a 2048-unit
+    # chunk the mean's std is <1% of itself), and every per-candidate op
+    # is issue-bound at pool size -- 1.1x is the measured-safe floor;
+    # spills cost an exact host remap of tail units, never correctness
+    return (int(min(8192, max(64, (int(mean * 1.10) + 15) & ~15))),
+            ext_tot / n)
 
 _jax = None
 _jnp = None
@@ -667,38 +679,69 @@ def _make_core(lmax: int, max_candidates: int, n_index2: int,
             # fused lower/upper-bound search over the class-sorted bucket;
             # fori_loop (not an unrolled Python loop) keeps the compiled
             # HLO a single body -- at GB scale ext_iters is ~20+ and the
-            # unrolled form dominated compile time
-            tbl2x = jnp.concatenate([tbl3, tbl3])
-            ga2x = jnp.concatenate([p_ga, p_ga])
-            D2x = jnp.concatenate([Dl, Dl])
-            ib2x = jnp.concatenate([idx_b, idx_b])
-            kw2x = jnp.concatenate([kw_l, kw_l]).astype(jnp.uint32)
-            qcls2x = jnp.concatenate([qcls, qcls], axis=0)
+            # unrolled form dominated compile time.  The search is K-ARY
+            # (WAYS-1 probes per bound per iteration): each iteration of
+            # the loop is SERIAL latency (a dependent index_all gather +
+            # the gwin_cls alignment rolls, ~300 us at GB scale), so
+            # trading probe lanes -- vector throughput -- for loop trips
+            # is a measured wall-clock cut.  The per-iteration cost model
+            # (fit from 2-way and 8-way runs at a 1 GB index) is
+            # ~213 us fixed + ~0.085 us/probe-lane, which makes WAYS = 4
+            # the optimum: ~15 trips x ~470 us vs 2-way's ~29 x ~300.
+            WAYS = int(os.environ.get("ABISMAL_TPU_EXT_WAYS", 4))
+            NPRB = WAYS - 1
+            tbl2x = jnp.tile(tbl3, 2 * NPRB)
+            ga2x = jnp.tile(p_ga, 2 * NPRB)
+            D2x = jnp.tile(Dl, 2 * NPRB)
+            ib2x = jnp.tile(idx_b, 2 * NPRB)
+            kw2x = jnp.tile(kw_l, 2 * NPRB).astype(jnp.uint32)
+            qcls2x = jnp.tile(qcls, (2 * NPRB, 1))
+            kf = jnp.arange(1, WAYS, dtype=jnp.int32)[:, None]  # (NPRB, 1)
 
             def bis_body(_, st):
                 aL, bL, aU, bU = st
-                midL = (aL + bL) >> 1
-                midU = (aU + bU) >> 1
-                mids = jnp.concatenate([midL, midU])
+                # interior probes ~ a + floor(w*k/WAYS), k = 1..WAYS-1,
+                # computed as k*(w//W) + k*(w%W)//W so k*w cannot overflow
+                # i32 (GB-scale low-complexity buckets reach 2^30 slots);
+                # duplicates when w < WAYS are harmless: updates are
+                # monotone max/min and guarded by a<b
+                wL, wU = bL - aL, bU - aU
+                pL = (aL[None, :] + kf * (wL[None, :] // WAYS)
+                      + (kf * (wL[None, :] % WAYS)) // WAYS)
+                pU = (aU[None, :] + kf * (wU[None, :] // WAYS)
+                      + (kf * (wU[None, :] % WAYS)) // WAYS)
+                mids = jnp.concatenate(
+                    [pL.reshape(-1), pU.reshape(-1)])
                 gpos = (index_all[ib2x + mids].astype(jnp.uint32) + kw2x)
                 _, cmp = lex(gwin_cls(gpos, tbl2x, ga2x), qcls2x, D2x)
-                cmpL, cmpU = cmp[:EXT_POOL], cmp[EXT_POOL:]
+                half = NPRB * EXT_POOL
+                cmpL = cmp[:half].reshape(NPRB, EXT_POOL)
+                cmpU = cmp[half:].reshape(NPRB, EXT_POOL)
                 cL, cU = aL < bL, aU < bU
                 gL, gU = cmpL < 0, cmpU <= 0
-                aL = jnp.where(cL & gL, midL + 1, aL)
-                bL = jnp.where(cL & ~gL, midL, bL)
-                aU = jnp.where(cU & gU, midU + 1, aU)
-                bU = jnp.where(cU & ~gU, midU, bU)
+                aL = jnp.max(jnp.where(cL[None, :] & gL, pL + 1,
+                                       aL[None, :]), axis=0)
+                bL = jnp.min(jnp.where(cL[None, :] & ~gL, pL,
+                                       bL[None, :]), axis=0)
+                aU = jnp.max(jnp.where(cU[None, :] & gU, pU + 1,
+                                       aU[None, :]), axis=0)
+                bU = jnp.min(jnp.where(cU[None, :] & ~gU, pU,
+                                       bU[None, :]), axis=0)
                 return aL, bL, aU, bU
 
+            # iteration count: the interval shrinks by ~WAYS each trip
+            # (binary ext_iters covers 2^ext_iters, so ceil to the k-ary
+            # log plus one slack trip for the floor-probe rounding)
+            kbits = max(1, int(np.log2(WAYS)))
+            kary_iters = -(-ext_iters // kbits) + 1
             if os.environ.get("ABISMAL_TPU_EXT_UNROLL"):
                 st = (lo0, hi0, lo0, hi0)
-                for _i in range(ext_iters):
+                for _i in range(kary_iters):
                     st = bis_body(_i, st)
                 Lb, _, Ub, _ = st
             else:
                 Lb, _, Ub, _ = jax.lax.fori_loop(
-                    0, ext_iters, bis_body, (lo0, hi0, lo0, hi0))
+                    0, kary_iters, bis_body, (lo0, hi0, lo0, hi0))
 
             # LCP window: EXT_W positions on each side of [L, U)
             wi = jnp.arange(EXT_W, dtype=jnp.int32)
@@ -831,13 +874,18 @@ def _make_core(lmax: int, max_candidates: int, n_index2: int,
         overflow = overflow | (unit_start + unit_total > gflat)
 
         # candidate -> cell mapping via scatter + running max (cheaper on
-        # TPU than a binary search per candidate)
+        # TPU than a binary search per candidate).  EVERY cell marks at
+        # its (clamped) exclusive prefix -- the indices are then sorted,
+        # which XLA's TPU scatter emit exploits -- and the max over a run
+        # of equal starts is the run's single nonzero cell (a nonzero
+        # cell always terminates its equal-start run, and trailing
+        # all-zero cells mark at `total`, past every valid candidate)
         f = jnp.arange(gflat, dtype=jnp.int32)
         starts = inc - cnt_flat  # exclusive prefix, (B*n_cells,)
         gid_vals = jnp.arange(B * n_cells, dtype=jnp.int32)
-        mark_idx = jnp.where(cnt_flat > 0, starts, gflat)
-        cellmark = jnp.zeros(gflat + 1, dtype=jnp.int32).at[mark_idx].max(
-            gid_vals)
+        cellmark = jnp.zeros(gflat + 1, dtype=jnp.int32).at[
+            jnp.minimum(starts, gflat)].max(
+            gid_vals, indices_are_sorted=True)
         cell_gid = jax.lax.associative_scan(jnp.maximum, cellmark[:gflat])
         b_of = cell_gid // n_cells
         cell_of = cell_gid % n_cells
@@ -1059,6 +1107,16 @@ def build_tb_block(lmax: int, interpret: bool = False):
         def w_cond(st):
             return jnp.any(st[0]) & (st[8] < MAXSTEP)
 
+        def w_body4(st):
+            # 4 walk steps per loop trip: each trip of a TPU while_loop
+            # costs fixed dispatch overhead comparable to the body's
+            # vector work at R ~ 1k lanes, and the walk runs ~readlen
+            # serial steps; inner steps are act-masked no-ops when a lane
+            # (or the whole panel) has already finished
+            for _ in range(4):
+                st = w_body(st)
+            return st
+
         def w_body(st):
             act, i, j, prv, n, cnt, ops, over, stp = st
             nibw = fetch(i, j)
@@ -1083,7 +1141,7 @@ def build_tb_block(lmax: int, interpret: bool = False):
                jnp.zeros(J2, jnp.int32), opsb0, jnp.zeros(J2, bool),
                jnp.zeros((), jnp.int32))
         actF, iF, jF, prvF, nF, cntF, opsF, overF, _ = \
-            jax.lax.while_loop(w_cond, w_body, st0)
+            jax.lax.while_loop(w_cond, w_body4, st0)
         # final run emit (the walk's trailing (n, prev_arrow))
         valF = (nF << 4) | prvF
         opsF = jnp.where(started[:, None]
@@ -1108,7 +1166,8 @@ def build_stage12(lmax: int, max_candidates: int, n_index2: int,
                   n_index3: int, per: int, cand_per_unit: int | None = None,
                   k_slots: int = 50, jobs_per_read: int = 8,
                   interpret: bool = False, cut: str | None = None,
-                  ext_iters: int = 31, device_tb: bool | None = None):
+                  ext_iters: int = 31, device_tb: bool | None = None,
+                  ext_pool: int | None = None):
     """Fused device stage-1+2 for single-end mapping: ONE jitted program
     runs candidate generation (the shared core), the reference's candidate
     -set decision logic, batched banded-alignment scoring (Pallas), and
@@ -1165,14 +1224,14 @@ def build_stage12(lmax: int, max_candidates: int, n_index2: int,
         device_tb = os.environ.get("ABISMAL_TPU_DEVTB", "1") == "1"
     memo_key = (lmax, max_candidates, n_index2, n_index3, per,
                 cand_per_unit, k_slots, jobs_per_read, interpret, cut,
-                ext_iters, device_tb)
+                ext_iters, device_tb, ext_pool)
     if memo_key in _stage12_memo:
         return _stage12_memo[memo_key]
     jax, jnp = _jm()
     core, o_spec = _make_core(lmax, max_candidates, n_index2, n_index3,
                               cand_per_unit, tp=False,
                               cut=cut if cut in CORE_CUTS else None,
-                              ext_iters=ext_iters)
+                              ext_iters=ext_iters, ext_pool=ext_pool)
     scorer = build_banded_scorer(lmax, interpret=interpret)
     tb_block = build_tb_block(lmax, interpret=interpret) if device_tb \
         else None
@@ -1218,95 +1277,91 @@ def build_stage12(lmax: int, max_candidates: int, n_index2: int,
         is_ex = gate & (d == 0)
         nonex = gate & (d != 0)
 
-        # --- exact-match tracking (update_exact_match,
-        # abismal.cpp:347-355): first exact event in discovery order;
-        # ambiguous iff any exact event at a different (pos, flags).
-        # Exact events pool into PER-READ slots (first EPR exact events
-        # of each read; slot = per-read exact rank from the prefix-sum
-        # machinery) so every reduction is a dense (R, EPR) vector op --
-        # the direct (gflat -> R) scatter-min/max formulation cost 16
-        # ms/exec in scatter issue at gflat = 655k, and a round-4 GLOBAL
-        # pool starved later reads whenever one repeat-heavy read emitted
-        # hundreds of exact events.  Reads whose exact events overrun
-        # their EPR slots are still decided on device when the pooled
-        # prefix already proves ambiguity (see ex_over_fb below); only
-        # the undecided overruns take the exact host path. ---
+        # --- combined event window: the first K2 GATED events of each
+        # read (exact and non-exact, in discovery order) compact into ONE
+        # dense (R, K2) slot table via a SINGLE scatter whose indices are
+        # globally sorted -- dest = read * K2 + capped per-read gated
+        # rank, where dropped/overflow lanes write all-INF rows and the
+        # scatter combiner is elementwise MIN (every slot has at most one
+        # non-INF writer, so min reconstitutes its row exactly).  The
+        # sorted-indices guarantee is what pays: XLA's TPU scatter takes
+        # its fast path (measured 11.5 -> 7.4 ms at 524k rows), and the
+        # separate exact-pool rank scan of the two-region round-4 layout
+        # disappears.  Slot budget: reads keep <= 48 non-exact events
+        # (heap_would_fill falls back above that), so K2 = K + 14 slack
+        # covers the typical <= 8 exact duplicates; reads whose events
+        # overrun the window are decided only when the windowed prefix
+        # already proves exact ambiguity (see ex_over_fb), else they take
+        # the exact host path -- correctness never depends on K2. ---
         span = jnp.sum(unit_total.reshape(R, per), axis=1)
         rstart = jnp.cumsum(span) - span
         rend = jnp.minimum(rstart + span, ncand)
         rst_c = jnp.minimum(rstart, ncand)
-        EPR = int(os.environ.get("ABISMAL_TPU_EXACT_PER_READ", 8))
+        K2 = ((K + 14 + 15) // 16) * 16
+        gt = gate.astype(jnp.int32)
+        g_inc = jnp.cumsum(gt)
+        g_exc = g_inc - gt
+        g_at = jnp.concatenate([g_exc, g_inc[-1:]])
+        n_gated = g_at[rend] - g_at[rst_c]
         ex_at = jnp.concatenate(
             [jnp.zeros(1, jnp.int32), jnp.cumsum(is_ex.astype(jnp.int32))])
-        ex_exc = ex_at[:-1]  # exclusive prefix per candidate
-        # per-read exact rank: the read's base exact-prefix propagated
-        # along its candidate span (same mark + running-max trick as the
-        # non-exact base below; ex_at is non-decreasing)
-        ex_base_of = jax.lax.associative_scan(
-            jnp.maximum,
-            jnp.zeros(ncand + 1, jnp.int32).at[rst_c].max(
-                ex_at[rst_c])[:ncand])
-        e_slot = ex_exc - ex_base_of
-        # reads with more exact events than slots
-        ex_over = (ex_at[rend] - ex_at[rst_c]) > EPR
-
-        # --- non-exact candidate compaction into (R, K) slots ---
-        nx = nonex.astype(jnp.int32)
-        c_inc = jnp.cumsum(nx)
-        c_exc = c_inc - nx
-        c_at = jnp.concatenate([c_exc, c_inc[-1:]])
-        base = c_at[rst_c]
-        n_nonex = c_at[rend] - base
+        total_ex = ex_at[rend] - ex_at[rst_c]
         # 49 non-exact inserts fill the 50-slot heap (sentinel occupies
         # slot 0); refined below by the sure-ambig abort argument
-        heap_would_fill = n_nonex > 48
-        # propagate each read's base along its candidate span with an
-        # R-update mark + running max (base is non-decreasing), not a
-        # per-candidate gather
+        heap_would_fill = (n_gated - total_ex) > 48
+        # propagate each read's base gated-prefix along its candidate
+        # span with an R-update mark + running max (g_at non-decreasing),
+        # not a per-candidate gather
         base_of = jax.lax.associative_scan(
             jnp.maximum,
-            jnp.zeros(ncand + 1, jnp.int32).at[rst_c].max(base)[:ncand])
-        slot_r = c_exc - base_of
-        keep = nonex & (slot_r < K)
-        # ONE row scatter serves BOTH compactions (they are disjoint):
-        # non-exact slots land in [0, R*K), per-read exact slots in
-        # [R*K, R*K + R*EPR), carrying (pos, scode << 10 | d, read).
-        # Duplicate (pos, scode) slots provably share d (d is a function
-        # of (unit, pos)), so packing d under the sort key cannot reorder.
-        NTOT = R * K + R * EPR
-        dest = jnp.where(
-            keep, r_of * K + jnp.minimum(slot_r, K - 1),
-            jnp.where(is_ex & (e_slot < EPR),
-                      R * K + r_of * EPR + jnp.minimum(e_slot, EPR - 1),
-                      NTOT))
+            jnp.zeros(ncand + 1, jnp.int32).at[rst_c].max(
+                g_at[rst_c])[:ncand])
+        wslot = g_exc - base_of  # per-read gated rank (flat for drops)
+        keepw = gate & (wslot < K2)
+        dest = r_of * K2 + jnp.minimum(wslot, K2 - 1)
         # diffs biased by +512 into the 10-bit field (as stage1 does):
         # IUPAC genome nibbles can drive the popcount distance negative,
-        # and a raw negative d would smear sign bits over scode
+        # and a raw negative d would smear sign bits over scode.
+        # Duplicate (pos, scode) slots provably share d (d is a function
+        # of (unit, pos)), so packing d under the sort key cannot reorder.
         scd = (scode_cand << 10) | ((d + 512) & 1023)
         # column 3 carries the global candidate (discovery) index: the
         # sure-ambig refinement below compares discovery times of the
         # ambiguity-setting exact event and the heap-filling insert
+        INF32 = 0x7FFFFFFF
         cidx = jnp.arange(ncand, dtype=jnp.int32)
-        fillK = jnp.concatenate(
-            [jnp.full((NTOT + 1, 1), -1, jnp.int32),  # -1 == POS_EMPTY
-             jnp.full((NTOT + 1, 1), 0x7FFFFFFF, jnp.int32),
-             jnp.full((NTOT + 1, 1), R, jnp.int32),
-             jnp.full((NTOT + 1, 1), 0x7FFFFFFF, jnp.int32)], axis=1)
-        slotsA = fillK.at[dest].set(jnp.stack(
-            [jax.lax.bitcast_convert_type(pos, jnp.int32), scd, r_of,
-             cidx], axis=1))
+        rows4 = jnp.where(
+            keepw[:, None],
+            jnp.stack([jax.lax.bitcast_convert_type(pos, jnp.int32), scd,
+                       r_of, cidx], axis=1),
+            INF32)
+        slotsA = jnp.full((R * K2, 4), INF32, jnp.int32).at[dest].min(
+            rows4, indices_are_sorted=True)
+        if cut == "compact":  # profiling cut: + gates/prefixes/slot scatter
+            return jnp.stack([jnp.sum(slotsA), jnp.sum(dest),
+                              jnp.sum(total_ex), jnp.sum(heap_would_fill)])
 
-        # exact-slot reductions, dense (R, EPR): slot k holds the read's
-        # k-th exact event in discovery order (slot 0 = res.best)
-        xt = slotsA[R * K : NTOT].reshape(R, EPR, 4)
-        xpos = jax.lax.bitcast_convert_type(xt[:, :, 0], jnp.uint32)
-        xsc = xt[:, :, 1] >> 10
-        xv = xt[:, :, 2] < R  # fill rows carry read = R
-        has_ex = xv[:, 0]
-        e_pos0 = xpos[:, 0]
-        e_s0 = xsc[:, 0]
-        mism = xv & ((xpos != e_pos0[:, None]) | (xsc != e_s0[:, None]))
+        # --- window reductions, all dense (R, K2) vector ops ---
+        st = slotsA.reshape(R, K2, 4)
+        wocc = st[:, :, 2] < R  # empty slots carry INF in every column
+        wpos = jax.lax.bitcast_convert_type(st[:, :, 0], jnp.uint32)
+        wscd = st[:, :, 1]
+        wcidx = st[:, :, 3]
+        # exact-match tracking (update_exact_match, abismal.cpp:347-355):
+        # first exact event in discovery order (= lowest exact slot);
+        # ambiguous iff any exact event at a different (pos, flags)
+        is_exW = wocc & ((wscd & 1023) == 512)  # d == 0 after the bias
+        k2idx = jnp.arange(K2, dtype=jnp.int32)[None, :]
+        j0 = jnp.min(jnp.where(is_exW, k2idx, K2), axis=1)
+        has_ex = j0 < K2
+        j0c = jnp.minimum(j0, K2 - 1)[:, None]
+        e_pos0 = jnp.take_along_axis(wpos, j0c, axis=1)[:, 0]
+        e_s0 = jnp.take_along_axis(wscd >> 10, j0c, axis=1)[:, 0]
+        mism = is_exW & ((wpos != e_pos0[:, None])
+                         | ((wscd >> 10) != e_s0[:, None]))
         ex_ambig = jnp.any(mism, axis=1)
+        # exact events past the window: decided only if already ambiguous
+        ex_over = total_ex > jnp.sum(is_exW.astype(jnp.int32), axis=1)
 
         # --- sure-ambig heap-fill refinement: the reference ABORTS a
         # read's seeding the moment a second distinct exact match is
@@ -1322,34 +1377,36 @@ def build_stage12(lmax: int, max_candidates: int, n_index2: int,
         # repeat-region reads, the dominant heap-fill class -- need no
         # host fallback.  (Before the fill no eviction happens, so the
         # exact track itself is eviction-independent here even with
-        # IUPAC-negative diffs.)
-        INF32 = 0x7FFFFFFF
-        idx_amb = jnp.min(jnp.where(mism, xt[:, :, 3], INF32), axis=1)
-        # slot 48 of the (pre-sort) slot table holds the 49th accepted
-        # non-exact candidate's discovery index (K = 50 covers it; a
-        # smaller experimental K disables the refinement)
-        idx_fill = (slotsA[: R * K, 3].reshape(R, K)[:, 48] if K > 48
-                    else jnp.full(R, -1, jnp.int32))
+        # IUPAC-negative diffs.)  idx_fill is the windowed 49th non-exact
+        # event's discovery index; when that insert falls PAST the window
+        # it is later than every windowed event, so INF is sound.
+        idx_amb = jnp.min(jnp.where(mism, wcidx, INF32), axis=1)
+        nonexW = wocc & ~is_exW
+        nxcum = jnp.cumsum(nonexW.astype(jnp.int32), axis=1)
+        is49 = nonexW & (nxcum == 49)
+        idx_fill = jnp.min(jnp.where(is49, wcidx, INF32), axis=1)
         heap_fb = heap_would_fill & ~(ex_ambig & (idx_amb < idx_fill))
 
         # dedup-sort by (pos, flags) (prepare_for_alignments,
-        # abismal.cpp:429-439); empty slots sort last (pos = u32 max
-        # exceeds any genome position)
+        # abismal.cpp:429-439); empty slots sort last (pos forced to the
+        # u32-max sentinel, which exceeds any genome position)
         posKi, scdK = jax.lax.sort(
-            (jax.lax.bitcast_convert_type(
-                slotsA[: R * K, 0], jnp.uint32).reshape(R, K),
-             slotsA[: R * K, 1].reshape(R, K)), dimension=1, num_keys=2)
+            (jnp.where(wocc, wpos, POS_EMPTY),
+             jnp.where(wocc, wscd, INF32)), dimension=1, num_keys=2)
         posK = posKi
         sK = scdK >> 10
-        dK = jnp.where(scdK == 0x7FFFFFFF, 0x7FFFFFFF,
-                       (scdK & 1023) - 512)  # unbias
+        dK = jnp.where(scdK == INF32, INF32, (scdK & 1023) - 512)  # unbias
         filled = posK != POS_EMPTY
         dup = jnp.concatenate(
             [jnp.zeros((R, 1), bool),
              (posK[:, 1:] == posK[:, :-1]) & (sK[:, 1:] == sK[:, :-1])],
             axis=1)
         candm = filled & ~dup
-        vh = candm & (dK < sens_gate[:, None])  # valid_hit: strict <
+        # valid_hit (strict <); d == 0 slots are excluded: they exist
+        # only on has_ex reads, whose record is decided by the exact
+        # track above without consulting scores (abismal.cpp:1443-1447),
+        # so scoring them would only burn job budget
+        vh = candm & (dK < sens_gate[:, None]) & (dK != 0)
         if cut == "decide":  # profiling cut: + gates/compaction/sort
             return jnp.stack([jnp.sum(posK.astype(jnp.int32)), jnp.sum(dK),
                               jnp.sum(vh), jnp.sum(has_ex)])
@@ -1374,7 +1431,7 @@ def build_stage12(lmax: int, max_candidates: int, n_index2: int,
         jexc = jnp.cumsum(jm) - jm
         job_ok = (jm != 0) & (jexc < J)
         job_over = (jm != 0) & (jexc >= J)
-        job_fb = jnp.any(job_over.reshape(R, K), axis=1)
+        job_fb = jnp.any(job_over.reshape(R, K2), axis=1)
         jdest = jnp.where(job_ok, jexc, J)
         # ONE row scatter for the four job fields
         jfill = jnp.concatenate(
@@ -1385,7 +1442,7 @@ def build_stage12(lmax: int, max_candidates: int, n_index2: int,
         jrows = jfill.at[jdest].set(jnp.stack(
             [qrowK.reshape(-1),
              jax.lax.bitcast_convert_type(posK, jnp.int32).reshape(-1),
-             bwK.reshape(-1), jnp.repeat(rlen, K)], axis=1))
+             bwK.reshape(-1), jnp.repeat(rlen, K2)], axis=1))
         junit = jrows[:J, 0]
         jpos = jax.lax.bitcast_convert_type(jrows[:J, 1], jnp.uint32)
         jbw, jqsz = jrows[:J, 2], jrows[:J, 3]
@@ -1425,8 +1482,8 @@ def build_stage12(lmax: int, max_candidates: int, n_index2: int,
             return jnp.stack([jnp.sum(scores_j), jnp.sum(jbw),
                               jnp.sum(jqsz), jnp.sum(vh)])
         scrK = jnp.where(
-            job_ok.reshape(R, K),
-            scores_j[jnp.minimum(jexc, J - 1)].reshape(R, K), 0)
+            job_ok.reshape(R, K2),
+            scores_j[jnp.minimum(jexc, J - 1)].reshape(R, K2), 0)
 
         # --- winner selection (align_se_candidates scan semantics,
         # abismal.cpp:1435-1497): best = first occurrence of the max
@@ -1435,10 +1492,10 @@ def build_stage12(lmax: int, max_candidates: int, n_index2: int,
         # ambiguous iff any LATER valid hit ties the max at a distinct
         # position (ties before the last update are erased by it) ---
         M = jnp.max(jnp.where(vh, scrK, 0), axis=1)
-        kidx = jnp.arange(K, dtype=jnp.int32)[None, :]
+        kidx = jnp.arange(K2, dtype=jnp.int32)[None, :]
         isM = vh & (scrK == M[:, None]) & (M[:, None] > 0)
-        istar = jnp.min(jnp.where(isM, kidx, K), axis=1)
-        ist = jnp.minimum(istar, K - 1)[:, None]
+        istar = jnp.min(jnp.where(isM, kidx, K2), axis=1)
+        ist = jnp.minimum(istar, K2 - 1)[:, None]
         bpos = jnp.take_along_axis(posK, ist, axis=1)[:, 0]
         bs = jnp.take_along_axis(sK, ist, axis=1)[:, 0]
         bd = jnp.take_along_axis(dK, ist, axis=1)[:, 0]
@@ -1544,7 +1601,8 @@ def build_stage12pe(lmax: int, max_candidates: int, n_index2: int,
                     n_index3: int, per: int = 4,
                     cand_per_unit: int | None = None,
                     k_slots: int = 32, jobs_per_unit: int = 8,
-                    interpret: bool = False, ext_iters: int = 31):
+                    interpret: bool = False, ext_iters: int = 31,
+                    ext_pool: int | None = None):
     """Fused device stage-1+2 for paired-end mapping: ONE jitted program
     runs candidate generation (the shared core), the reference's
     pe_candidates acceptance gates, and Pallas banded scoring of every
@@ -1582,12 +1640,14 @@ def build_stage12pe(lmax: int, max_candidates: int, n_index2: int,
     jobs_per_unit = int(os.environ.get("ABISMAL_TPU_JOBS_PER_UNIT",
                                        jobs_per_unit))
     memo_key = (lmax, max_candidates, n_index2, n_index3, per,
-                cand_per_unit, k_slots, jobs_per_unit, interpret, ext_iters)
+                cand_per_unit, k_slots, jobs_per_unit, interpret, ext_iters,
+                ext_pool)
     if memo_key in _stage12pe_memo:
         return _stage12pe_memo[memo_key]
     jax, jnp = _jm()
     core, o_spec = _make_core(lmax, max_candidates, n_index2, n_index3,
-                              cand_per_unit, tp=False, ext_iters=ext_iters)
+                              cand_per_unit, tp=False, ext_iters=ext_iters,
+                              ext_pool=ext_pool)
     scorer = build_banded_scorer(lmax, interpret=interpret)
     K = k_slots
     WW3 = lmax + QOFF
@@ -2144,6 +2204,7 @@ class TpuNativeEngine:
         self._host_counters = (index.counter, index.counter_t,
                                index.counter_a)
         self.cand_budget = None
+        self._ext_mean = None  # oversized-bucket rate, set with the budget
         self.n_fallback = 0
         self.n_units = 0
         self._pool = None  # collector threads (created lazily)
@@ -2395,14 +2456,28 @@ class TpuNativeEngine:
                 unp[:, 1::2] = pnib >> np.uint8(4)
                 units = [unp[i, : lens_u[i]] for i in range(pnib.shape[0])]
             is_ga = [bool(is_ga_pat[i % per]) for i in range(len(units))]
-            self.cand_budget = estimate_cand_budget(
+            self.cand_budget, self._ext_mean = estimate_cand_budget(
                 self._host_counters, self.dev.max_candidates, units, is_ga,
                 self.lmax)
         return self.cand_budget
 
+    def _informed_ext_pool(self):
+        """Extension-pool size from the measured oversized-bucket rate
+        (estimate_cand_budget): demand is ~0.01 lanes/unit at a 1 GB
+        index vs the 512-lane static default, and every bisection trip
+        costs probe lanes proportional to the pool.  6x margin over the
+        measured per-chunk mean; spills set ext_fb (exact host remap),
+        never wrong output.  None = static default (no measurement)."""
+        em = getattr(self, "_ext_mean", None)
+        if em is None:
+            return None
+        want = em * self.unit_batch * 6.0
+        return int(np.clip((int(want) + 127) & ~63, 128, 4096))
+
     # --- fused stage-1+2 path (SE): one record per read --------------------
     def _stage12_prog(self, per, cand_budget=None):
-        key = (per, cand_budget)
+        ext_pool = self._informed_ext_pool()
+        key = (per, cand_budget, ext_pool)
         prog = self._stage12_progs.get(key)
         if prog is None:
             import jax
@@ -2413,7 +2488,8 @@ class TpuNativeEngine:
                                     per, cand_per_unit=cand_budget,
                                     interpret=interp,
                                     ext_iters=self.dev.ext_iters,
-                                    device_tb=self.device_tb)
+                                    device_tb=self.device_tb,
+                                    ext_pool=ext_pool)
             if self.mesh is not None:
                 from ..parallel.mesh import shard_stage12
 
@@ -2422,7 +2498,8 @@ class TpuNativeEngine:
         return prog
 
     def _stage12pe_prog(self, per, cand_budget=None):
-        key = ("pe", per, cand_budget)
+        ext_pool = self._informed_ext_pool()
+        key = ("pe", per, cand_budget, ext_pool)
         prog = self._stage12_progs.get(key)
         if prog is None:
             import jax
@@ -2432,7 +2509,8 @@ class TpuNativeEngine:
                                       self.dev.n_index2, self.dev.n_index3,
                                       per=per, cand_per_unit=cand_budget,
                                       interpret=interp,
-                                      ext_iters=self.dev.ext_iters)
+                                      ext_iters=self.dev.ext_iters,
+                                      ext_pool=ext_pool)
             if self.mesh is not None:
                 from ..parallel.mesh import shard_stage12pe
 

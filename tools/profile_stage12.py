@@ -47,8 +47,9 @@ def main():
         index = g._tiny_index()
         genome = os.path.join(os.path.dirname(os.path.dirname(
             os.path.abspath(__file__))), "tests", "data", "tRex1.fa")
-    eng = TpuNativeEngine(index, lmax=128, unit_batch=unit_batch,
-                          n_threads=1)
+    eng = TpuNativeEngine(
+        index, lmax=int(os.environ.get("ABISMAL_PROFILE_LMAX", 128)),
+        unit_batch=unit_batch, n_threads=1)
 
     # realistic reads simulated from the profiled genome
     import tempfile
@@ -96,8 +97,8 @@ def main():
           f"(amortized over {reps})", flush=True)
 
     prev = 0.0
-    cuts = ("hash", "ranges", "extend", "list", "core", "decide", "jobs",
-            "score", None)
+    cuts = ("hash", "ranges", "extend", "list", "core", "compact",
+            "decide", "jobs", "score", None)
     if len(sys.argv) > 3:
         cuts = tuple(c if c != "full" else None for c in sys.argv[3:])
     for cut in cuts:

@@ -29,6 +29,13 @@ def main():
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
         "BENCH_SCALE.json"))
     ap.add_argument("--unit-batch", type=int, default=2048)
+    ap.add_argument("--lmax", type=int, default=100,
+                    help="padded device read length: every per-cell cost "
+                         "(hash windows, range gathers, cell marks) scales "
+                         "with it, so it is fitted to the workload's read "
+                         "length (100 bp sim reads -> 100) exactly as a "
+                         "CLI user would pass --lmax; output is identical "
+                         "for any value >= the longest read")
     ap.add_argument("--warm-only", action="store_true",
                     help="fresh-process persistent-cache measurement: "
                          "rebuild the stage12 program for the shapes saved "
@@ -53,7 +60,8 @@ def main():
         for t in dev.tables():
             t.block_until_ready()
         setup_s = _t.time() - t0
-        prog, _ = build_stage12(128, dev.max_candidates, dev.n_index2,
+        lmax_w = int(saved["lmax"]) if "lmax" in saved else 128
+        prog, _ = build_stage12(lmax_w, dev.max_candidates, dev.n_index2,
                                 dev.n_index3, 2)
         t0 = _t.time()
         out = prog(*dev.tables(), *[saved[k] for k in
@@ -133,7 +141,7 @@ def main():
         print(f"simulated {args.reads} reads in {time.time()-t0:.0f}s",
               flush=True)
 
-    eng = TpuNativeEngine(index, lmax=128, unit_batch=args.unit_batch,
+    eng = TpuNativeEngine(index, lmax=args.lmax, unit_batch=args.unit_batch,
                           n_threads=os.cpu_count() or 1,
                           device_index=dev)
 
@@ -172,7 +180,7 @@ def main():
     }
     print("candidates/unit:", res["candidates_per_unit"], flush=True)
 
-    # informed POOLED budget: 1.25x the measured mean, matching the
+    # informed POOLED budget: 1.1x the measured mean, matching the
     # engine's own estimate_cand_budget.  The budget is a batch-global
     # pool: unit counts concentrate (CLT) so the sum rarely exceeds
     # ~1.05x the mean, spills fall back to the exact host path (counted
@@ -180,7 +188,7 @@ def main():
     # three row gathers, the Pallas compare, the compactions -- costs
     # wall-clock LINEARLY in the padded pool, so the old 4x margin
     # quadrupled the gather bill for nothing
-    informed = max(64, (int(1.25 * ut.mean()) + 63) & ~63)
+    informed = max(64, (int(1.10 * ut.mean()) + 15) & ~15)
     os.environ["ABISMAL_TPU_CAND_PER_UNIT"] = str(informed)
     res["informed_cand_budget_per_unit"] = informed
 
@@ -219,7 +227,7 @@ def main():
     # device clients can wedge the tunnel) -- save the exact exec args
     np.savez(os.path.join(fqdir, "warm_args.npz"), preads=preads,
              lens=lens, is_ga=is_ga, scode=scode, md=max_diffs_r,
-             informed=np.int64(informed))
+             informed=np.int64(informed), lmax=np.int64(eng.lmax))
 
     # --- end-to-end engine rate at scale (device stage-1+2 + native
     # finalize), md5-agnostic (no golden at this scale): fallback units
