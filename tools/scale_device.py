@@ -192,9 +192,13 @@ def main():
     os.environ["ABISMAL_TPU_CAND_PER_UNIT"] = str(informed)
     res["informed_cand_budget_per_unit"] = informed
 
-    # --- fused stage-1+2 chunk latency ---
+    # --- fused stage-1+2 chunk latency --- (the same informed extension
+    # pool the engine derives, so this times the production program)
+    eng._budget_for(units, is_ga_pat, per)
+    ext_pool = eng._informed_ext_pool()
+    res["informed_ext_pool"] = ext_pool
     prog, _ = build_stage12(eng.lmax, dev.max_candidates, dev.n_index2,
-                            dev.n_index3, per)
+                            dev.n_index3, per, ext_pool=ext_pool)
     t0 = time.time()
     out = prog(*dev.tables(), *targs)
     np.asarray(out)
@@ -268,6 +272,15 @@ def main():
     print(f"native engine: {res['engine_native_reads_per_s']} reads/s",
           flush=True)
 
+    # carry forward measurements this run does not redo (the cross-process
+    # warm-cache probe and its interpretation note)
+    try:
+        prev = json.load(open(args.out))
+        for k in ("stage12_warm_cache_first_exec_s", "compile_note"):
+            if k in prev and k not in res:
+                res[k] = prev[k]
+    except (OSError, ValueError):
+        pass
     with open(args.out, "w") as f:
         json.dump(res, f, indent=1)
     print(f"wrote {args.out}", flush=True)
