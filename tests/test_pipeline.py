@@ -319,3 +319,26 @@ def test_lmax_long_reads_zero_fallback(trex1_index, monkeypatch):
     assert out_t.getvalue() == out_h.getvalue()
     assert st_t.__dict__ == st_h.__dict__
     assert st_t.reads_mapped_unique > 32
+
+
+def test_informed_ext_pool_sizing(trex1_index):
+    """The engine sizes the extension pool from the measured oversized-
+    bucket rate (estimate_cand_budget's second return): the pool tracks
+    demand with margin, stays within its clip bounds, and a missing
+    measurement falls back to the static default (None)."""
+    import numpy as np
+
+    from abismal_tpu.map.pipeline import TpuNativeEngine
+
+    eng = TpuNativeEngine(trex1_index, unit_batch=512, n_threads=1)
+    assert eng._informed_ext_pool() is None  # nothing measured yet
+
+    rng = np.random.default_rng(11)
+    units = [rng.integers(1, 15, size=100).astype(np.uint8)
+             for _ in range(64)]
+    eng._budget_for(units, np.array([False, True]), 2)
+    pool = eng._informed_ext_pool()
+    assert pool is not None and 128 <= pool <= 4096
+    assert pool % 64 == 0
+    want = eng._ext_mean * eng.unit_batch * 6.0
+    assert pool >= min(4096, max(128, int(want)))

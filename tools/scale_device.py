@@ -272,6 +272,32 @@ def main():
     print(f"native engine: {res['engine_native_reads_per_s']} reads/s",
           flush=True)
 
+    # --- hybrid split at scale: native + device engines concurrently on
+    # disjoint read shards, split by the rates measured above; the chip's
+    # carried share of the combined run is the deployment-scale
+    # device_share headline ---
+    from abismal_tpu.io.sam import make_sam_header
+    from abismal_tpu.map.hybrid_split import (
+        NativeShardServer,
+        run_map_hybrid_split,
+    )
+
+    share = res["engine_tpu_reads_per_s"] / (
+        res["engine_tpu_reads_per_s"] + res["engine_native_reads_per_s"])
+    srv = NativeShardServer(args.index, threads=thr)
+    rates = []
+    for _ in range(3):  # first rep warms the worker's index load
+        t0 = time.time()
+        run_map_hybrid_split(index, fq, None, sam, cl, device_share=share,
+                             threads=thr, native_server=srv, tpu_engine=eng,
+                             total_reads=args.reads, lmax=eng.lmax)
+        rates.append(args.reads / (time.time() - t0))
+    srv.close()
+    res["engine_split_reads_per_s"] = round(max(rates[1:]), 1)
+    res["split_device_share"] = round(share, 4)
+    print(f"hybrid split: {res['engine_split_reads_per_s']} reads/s at "
+          f"device_share {share:.3f}", flush=True)
+
     # carry forward measurements this run does not redo (the cross-process
     # warm-cache probe and its interpretation note)
     try:
