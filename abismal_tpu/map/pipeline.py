@@ -1187,10 +1187,12 @@ def build_stage12(lmax: int, max_candidates: int, n_index2: int,
     exists, in which case the candidate heap is never consulted
     (align_se_candidates returns the exact best immediately), so the
     skipped inserts cannot affect output.  Reads with >= 49 non-exact
-    accepted events (the heap WOULD fill), overflowed units, short reads
-    (< 49 bp) or more alignment jobs than the batch job budget are
-    flagged REC_FALLBACK and re-mapped exactly on the host -- output is
-    byte-identical to the reference at any fallback rate.
+    accepted events (the heap WOULD fill, unless the sure-ambig
+    refinement below decides them), reads whose gated events overrun the
+    K2 slot window without proving exact ambiguity, overflowed units,
+    short reads (< 49 bp) or more alignment jobs than the batch job
+    budget are flagged REC_FALLBACK and re-mapped exactly on the host --
+    output is byte-identical to the reference at any fallback rate.
 
     per: units per read (2, or 4 for RPBAT).  Returns (stage12, o_spec).
 
@@ -1510,14 +1512,14 @@ def build_stage12(lmax: int, max_candidates: int, n_index2: int,
         amb0 = jnp.any(vh & (scrK == 0), axis=1) & (M == 0)
 
         # --- per-read records ---
-        # exact-pool spill refinement: pool slots fill in discovery order
-        # (the slot is the global exact prefix), so a read whose POOLED
-        # events already contain its first exact match AND a distinct
-        # second one is fully decided -- the record is (REC_EXACT, first
-        # exact's flags/pos, ambig), and every spilled (later) exact
-        # event could only re-set the already-set ambiguity bit
-        # (update_exact_match, abismal.cpp:347-355).  Only spills on
-        # reads NOT yet known-ambiguous need the exact host path.
+        # window-overrun refinement: window slots fill in discovery
+        # order, so a read whose WINDOWED events already contain its
+        # first exact match AND a distinct second one is fully decided
+        # -- the record is (REC_EXACT, first exact's flags/pos, ambig),
+        # and every beyond-window exact event could only re-set the
+        # already-set ambiguity bit (update_exact_match,
+        # abismal.cpp:347-355).  Only overruns on reads NOT yet
+        # known-ambiguous need the exact host path.
         ex_over_fb = ex_over & ~(has_ex & ex_ambig)
         unit_fb = jnp.any(overflow.reshape(R, per), axis=1)
         if cut == "fbstats":  # diagnostics: per-read fallback causes
@@ -1688,11 +1690,21 @@ def build_stage12pe(lmax: int, max_candidates: int, n_index2: int,
             jnp.zeros(ncand + 1, jnp.int32).at[ust_c].max(base)[:ncand])
         slot_u = c_exc - base_of
         keep = gate & (slot_u < K - 1)
-        dest = jnp.where(keep, b_of * K + jnp.minimum(slot_u, K - 1), B * K)
-        # ONE row scatter for (pos, d)
-        pdK = jnp.zeros((B * K + 1, 2), jnp.int32).at[dest].set(jnp.stack(
-            [jax.lax.bitcast_convert_type(pos, jnp.int32), d], axis=1))
-        posK = jax.lax.bitcast_convert_type(pdK[: B * K, 0], jnp.uint32)
+        # ONE row scatter for (pos, d) with SORTED indices: every lane
+        # (kept or dropped) addresses unit * K + capped slot rank, which
+        # is globally non-decreasing in candidate order; dropped lanes
+        # write all-INF rows and the elementwise-min combiner restores
+        # the single kept writer's row (same trick as the SE window; the
+        # host replay only reads slots < sl_cnt, so the INF fill beyond
+        # the count is never consumed)
+        INF32 = 0x7FFFFFFF
+        dest = b_of * K + jnp.minimum(slot_u, K - 1)
+        pdK = jnp.full((B * K, 2), INF32, jnp.int32).at[dest].min(
+            jnp.where(keep[:, None],
+                      jnp.stack([jax.lax.bitcast_convert_type(
+                          pos, jnp.int32), d], axis=1), INF32),
+            indices_are_sorted=True)
+        posK = jax.lax.bitcast_convert_type(pdK[:, 0], jnp.uint32)
         dKf = pdK[:, 1]
 
         # --- score every kept candidate (Pallas) ---

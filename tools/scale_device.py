@@ -42,7 +42,73 @@ def main():
                          "by a prior full run and time its first execution "
                          "(cross-process compile-cache hit); updates the "
                          "JSON in place")
+    ap.add_argument("--pe-only", action="store_true",
+                    help="measure only the paired-end engine rates "
+                         "(device + native) against an existing index and "
+                         "update the JSON in place")
     args = ap.parse_args()
+
+    if args.pe_only:
+        import time as _t
+
+        import numpy as np  # noqa: F401
+
+        from abismal_tpu.index.serialize import read_index
+        from abismal_tpu.map.engine import run_map
+        from abismal_tpu.map.pipeline import (
+            TpuNativeEngine,
+            make_native_engine_factory,
+        )
+        from abismal_tpu.sim.simreads import SimConfig, simulate_reads
+
+        res = json.load(open(args.out))
+        os.environ["ABISMAL_TPU_CAND_PER_UNIT"] = str(
+            res.get("informed_cand_budget_per_unit", 208))
+        index = read_index(args.index)
+        eng = TpuNativeEngine(index, lmax=args.lmax,
+                              unit_batch=args.unit_batch,
+                              n_threads=os.cpu_count() or 1)
+
+        def fac(index_, allow_ambig, valid_frac, pe_min, pe_max):
+            return eng
+
+        fac.is_native = True
+        thr = os.cpu_count() or 1
+        fqdir = "/tmp/abismal_scale"
+        n_pairs = args.reads // 2
+        pfq = os.path.join(fqdir, f"dev_pe_{n_pairs}_1.fq")
+        if not os.path.exists(pfq):
+            simulate_reads(args.genome, SimConfig(
+                output_prefix=os.path.join(fqdir, f"dev_pe_{n_pairs}"),
+                n_reads=n_pairs, mutation_rate=0.01, bs_conv=0.98,
+                seed=11, single_end=False))
+        pfq2 = pfq.replace("_1.fq", "_2.fq")
+        sam = os.path.join(fqdir, "dev_pe_out.sam")
+        cl = "map scale pe"
+        run_map(index, pfq, pfq2, sam, None, cl, engine_factory=fac,
+                threads=thr)  # warm: PE program compile
+        t0 = _t.time()
+        run_map(index, pfq, pfq2, sam, None, cl, engine_factory=fac,
+                threads=thr)
+        res["engine_tpu_pe_pairs_per_s"] = round(
+            n_pairs / (_t.time() - t0), 1)
+        res["engine_pe_fallback_frac"] = round(
+            eng.n_fallback / max(1, eng.n_units), 5)
+        nfac = make_native_engine_factory(n_threads=thr)
+        run_map(index, pfq, pfq2, sam, None, cl, engine_factory=nfac,
+                threads=thr)
+        t0 = _t.time()
+        run_map(index, pfq, pfq2, sam, None, cl, engine_factory=nfac,
+                threads=thr)
+        res["engine_native_pe_pairs_per_s"] = round(
+            n_pairs / (_t.time() - t0), 1)
+        print(f"PE at scale: device {res['engine_tpu_pe_pairs_per_s']} "
+              f"(fallback {res['engine_pe_fallback_frac']}) vs native "
+              f"{res['engine_native_pe_pairs_per_s']} pairs/s", flush=True)
+        with open(args.out, "w") as f:
+            json.dump(res, f, indent=1)
+        print(f"updated {args.out}", flush=True)
+        return
 
     if args.warm_only:
         import time as _t
@@ -297,6 +363,33 @@ def main():
     res["split_device_share"] = round(share, 4)
     print(f"hybrid split: {res['engine_split_reads_per_s']} reads/s at "
           f"device_share {share:.3f}", flush=True)
+
+    # --- paired-end at scale: device engine (fused PE stage-1+2 + device
+    # mating sweep) vs the native engine, pairs/s ---
+    n_pairs = args.reads // 2
+    pfq = os.path.join(fqdir, f"dev_pe_{n_pairs}_1.fq")
+    if not os.path.exists(pfq):
+        simulate_reads(args.genome, SimConfig(
+            output_prefix=os.path.join(fqdir, f"dev_pe_{n_pairs}"),
+            n_reads=n_pairs, mutation_rate=0.01, bs_conv=0.98, seed=11,
+            single_end=False))
+    pfq2 = pfq.replace("_1.fq", "_2.fq")
+    run_map(index, pfq, pfq2, sam, None, cl, engine_factory=fac,
+            threads=thr)  # warm: PE program compile
+    t0 = time.time()
+    run_map(index, pfq, pfq2, sam, None, cl, engine_factory=fac,
+            threads=thr)
+    res["engine_tpu_pe_pairs_per_s"] = round(n_pairs / (time.time() - t0), 1)
+    run_map(index, pfq, pfq2, sam, None, cl, engine_factory=nfac,
+            threads=thr)
+    t0 = time.time()
+    run_map(index, pfq, pfq2, sam, None, cl, engine_factory=nfac,
+            threads=thr)
+    res["engine_native_pe_pairs_per_s"] = round(
+        n_pairs / (time.time() - t0), 1)
+    print(f"PE at scale: device {res['engine_tpu_pe_pairs_per_s']} vs "
+          f"native {res['engine_native_pe_pairs_per_s']} pairs/s",
+          flush=True)
 
     # carry forward measurements this run does not redo (the cross-process
     # warm-cache probe and its interpretation note)
