@@ -1604,7 +1604,7 @@ def build_stage12pe(lmax: int, max_candidates: int, n_index2: int,
                     cand_per_unit: int | None = None,
                     k_slots: int = 32, jobs_per_unit: int = 8,
                     interpret: bool = False, ext_iters: int = 31,
-                    ext_pool: int | None = None):
+                    ext_pool: int | None = None, cut: str | None = None):
     """Fused device stage-1+2 for paired-end mapping: ONE jitted program
     runs candidate generation (the shared core), the reference's
     pe_candidates acceptance gates, and Pallas banded scoring of every
@@ -1643,13 +1643,14 @@ def build_stage12pe(lmax: int, max_candidates: int, n_index2: int,
                                        jobs_per_unit))
     memo_key = (lmax, max_candidates, n_index2, n_index3, per,
                 cand_per_unit, k_slots, jobs_per_unit, interpret, ext_iters,
-                ext_pool)
+                ext_pool, cut)
     if memo_key in _stage12pe_memo:
         return _stage12pe_memo[memo_key]
     jax, jnp = _jm()
     core, o_spec = _make_core(lmax, max_candidates, n_index2, n_index3,
                               cand_per_unit, tp=False, ext_iters=ext_iters,
-                              ext_pool=ext_pool)
+                              ext_pool=ext_pool,
+                              cut=cut if cut in CORE_CUTS else None)
     scorer = build_banded_scorer(lmax, interpret=interpret)
     K = k_slots
     WW3 = lmax + QOFF
@@ -1663,6 +1664,8 @@ def build_stage12pe(lmax: int, max_candidates: int, n_index2: int,
         uextra = jnp.stack([good_cut, sens_gate, max_diffs_u, lens], axis=1)
         c = core(genome32, genome2o, counter2, counter3, index_all,
                  pnib, lens, is_ga, uextra, None)
+        if "cut" in c:  # profiling cut inside the core
+            return c["cut"]
         pos, d, b_of = c["pos"], c["d"], c["b_of"]
         cell_of, valid = c["cell_of"], c["valid"]
         unit_start, unit_total = c["unit_start"], c["unit_total"]
@@ -1706,6 +1709,9 @@ def build_stage12pe(lmax: int, max_candidates: int, n_index2: int,
             indices_are_sorted=True)
         posK = jax.lax.bitcast_convert_type(pdK[:, 0], jnp.uint32)
         dKf = pdK[:, 1]
+        if cut == "pecompact":  # profiling cut: + gates/slot scatter
+            return jnp.stack([jnp.sum(pdK), jnp.sum(n_acc),
+                              jnp.sum(heap_fb), jnp.sum(dest)])
 
         # --- score every kept candidate (Pallas) ---
         md = extras[:, 2]
@@ -1757,7 +1763,14 @@ def build_stage12pe(lmax: int, max_candidates: int, n_index2: int,
                 [nib[:, s_:], jnp.zeros((J, s_), jnp.uint8)], axis=1)
             nib = jnp.where((off & s_)[:, None] != 0, rolled, nib)
         win = nib[:, :WW3]
+        if cut == "pejobs":  # profiling cut: + job build/window gathers
+            return jnp.stack([jnp.sum(q.astype(jnp.int32)),
+                              jnp.sum(win.astype(jnp.int32)),
+                              jnp.sum(jbw), jnp.sum(jqsz)])
         scores_j = scorer(q, win, jbw[:, None], jqsz[:, None])[:, 0]
+        if cut == "pescore":  # profiling cut: + Pallas scorer
+            return jnp.stack([jnp.sum(scores_j), jnp.sum(jbw),
+                              jnp.sum(jqsz), jnp.sum(n_acc)])
 
         # slot (u, k) holds the unit's k-th kept candidate, whose job rank
         # is the unit's kept-prefix base + k: ONE (B, K) gather replaces a

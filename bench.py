@@ -31,8 +31,8 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 GOLDEN_SAM_MD5 = "8126d46074213ad3674181f4ea4f8bd1"
 N_READS = 10000
-N_REPS = {"native": 20, "hybrid": 5, "split": 8, "pe_native": 8,
-          "pe_hybrid": 4}
+N_REPS = {"native": 20, "hybrid": 10, "split": 10, "pe_native": 8,
+          "pe_hybrid": 6}
 HYBRID_DEADLINE_S = int(os.environ.get("ABISMAL_BENCH_DEADLINE", "1800"))
 
 
