@@ -2490,13 +2490,22 @@ class TpuNativeEngine:
         """Extension-pool size from the measured oversized-bucket rate
         (estimate_cand_budget): demand is ~0.01 lanes/unit at a 1 GB
         index vs the 512-lane static default, and every bisection trip
-        costs probe lanes proportional to the pool.  6x margin over the
-        measured per-chunk mean; spills set ext_fb (exact host remap),
-        never wrong output.  None = static default (no measurement)."""
+        costs probe lanes proportional to the pool.  Margin is
+        statistical, not a flat multiple: chunk demand d is a sum of
+        ~independent per-unit events, so its spread is ~sqrt(d) --
+        8 sigma covers batch-to-batch noise, and the 2x term covers
+        systematic drift past the first-chunk measurement.  At SE-scale
+        demand (~10/chunk) this lands on the same 128-lane pool as the
+        old flat 6x; at PE-scale demand (A-rich mates measure ~10x the
+        oversized-bucket rate, ~210/chunk) it halves the pool the 6x
+        rule picked, and probe lanes are wall-clock (DESIGN.md 5d).
+        Spills set ext_fb (exact host remap), never wrong output.
+        None = static default (no measurement)."""
         em = getattr(self, "_ext_mean", None)
         if em is None:
             return None
-        want = em * self.unit_batch * 6.0
+        d = em * self.unit_batch
+        want = max(d + 8.0 * d ** 0.5, 2.0 * d)
         return int(np.clip((int(want) + 127) & ~63, 128, 4096))
 
     # --- fused stage-1+2 path (SE): one record per read --------------------

@@ -340,5 +340,6 @@ def test_informed_ext_pool_sizing(trex1_index):
     pool = eng._informed_ext_pool()
     assert pool is not None and 128 <= pool <= 4096
     assert pool % 64 == 0
-    want = eng._ext_mean * eng.unit_batch * 6.0
+    d = eng._ext_mean * eng.unit_batch
+    want = max(d + 8.0 * d ** 0.5, 2.0 * d)
     assert pool >= min(4096, max(128, int(want)))

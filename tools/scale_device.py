@@ -105,6 +105,32 @@ def main():
         print(f"PE at scale: device {res['engine_tpu_pe_pairs_per_s']} "
               f"(fallback {res['engine_pe_fallback_frac']}) vs native "
               f"{res['engine_native_pe_pairs_per_s']} pairs/s", flush=True)
+
+        # --- PE hybrid split at scale: native + device engines
+        # concurrently on disjoint PAIR shards (the SE analogue below);
+        # the chip's carried share is set from the two rates above ---
+        from abismal_tpu.map.hybrid_split import (
+            NativeShardServer,
+            run_map_hybrid_split,
+        )
+
+        share = res["engine_tpu_pe_pairs_per_s"] / (
+            res["engine_tpu_pe_pairs_per_s"]
+            + res["engine_native_pe_pairs_per_s"])
+        srv = NativeShardServer(args.index, threads=thr)
+        rates = []
+        for _ in range(3):  # first rep warms the worker's index load
+            t0 = _t.time()
+            run_map_hybrid_split(index, pfq, pfq2, sam, cl,
+                                 device_share=share, threads=thr,
+                                 native_server=srv, tpu_engine=eng,
+                                 total_reads=n_pairs, lmax=eng.lmax)
+            rates.append(n_pairs / (_t.time() - t0))
+        srv.close()
+        res["engine_split_pe_pairs_per_s"] = round(max(rates[1:]), 1)
+        res["split_pe_device_share"] = round(share, 4)
+        print(f"PE hybrid split: {res['engine_split_pe_pairs_per_s']} "
+              f"pairs/s at device_share {share:.3f}", flush=True)
         with open(args.out, "w") as f:
             json.dump(res, f, indent=1)
         print(f"updated {args.out}", flush=True)
