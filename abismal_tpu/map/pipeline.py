@@ -1688,30 +1688,29 @@ def build_stage12pe(lmax: int, max_candidates: int, n_index2: int,
         uend_at = jnp.minimum(unit_start + unit_total, ncand)
         n_acc = c_at[uend_at] - base
         heap_fb = n_acc > K - 1  # insert #32 fills the heap
+        if cut == "pegate":  # profiling cut: + gates/cumsum/unit spans
+            return jnp.stack([jnp.sum(c_exc), jnp.sum(n_acc),
+                              jnp.sum(heap_fb), jnp.sum(base)])
         base_of = jax.lax.associative_scan(
             jnp.maximum,
             jnp.zeros(ncand + 1, jnp.int32).at[ust_c].max(base)[:ncand])
         slot_u = c_exc - base_of
         keep = gate & (slot_u < K - 1)
-        # ONE row scatter for (pos, d) with SORTED indices: every lane
-        # (kept or dropped) addresses unit * K + capped slot rank, which
-        # is globally non-decreasing in candidate order; dropped lanes
-        # write all-INF rows and the elementwise-min combiner restores
-        # the single kept writer's row (same trick as the SE window; the
-        # host replay only reads slots < sl_cnt, so the INF fill beyond
-        # the count is never consumed)
+        if cut == "pescan":  # profiling cut: + per-candidate base scan
+            return jnp.stack([jnp.sum(base_of), jnp.sum(slot_u),
+                              jnp.sum(keep), jnp.sum(n_acc)])
+        # No per-candidate slot scatter: kept candidates are densely
+        # ranked by the job build below (jexc counts keep lanes), so
+        # slot (u, k)'s (pos, d) is GATHERED from the job rows at
+        # jrank = kbase + k after scoring -- a (B, K) gather replaces a
+        # (gflat -> B*K) scatter-min (measured 5.1 ms/chunk at a 1 GB
+        # index; the gather is ~0.1).  Dead slots (beyond the accepted
+        # count) read as INF32/0x7FFFFFFF exactly as the old scatter's
+        # unwritten rows did; the host replay only reads slots < sl_cnt.
         INF32 = 0x7FFFFFFF
-        dest = b_of * K + jnp.minimum(slot_u, K - 1)
-        pdK = jnp.full((B * K, 2), INF32, jnp.int32).at[dest].min(
-            jnp.where(keep[:, None],
-                      jnp.stack([jax.lax.bitcast_convert_type(
-                          pos, jnp.int32), d], axis=1), INF32),
-            indices_are_sorted=True)
-        posK = jax.lax.bitcast_convert_type(pdK[:, 0], jnp.uint32)
-        dKf = pdK[:, 1]
-        if cut == "pecompact":  # profiling cut: + gates/slot scatter
-            return jnp.stack([jnp.sum(pdK), jnp.sum(n_acc),
-                              jnp.sum(heap_fb), jnp.sum(dest)])
+        if cut == "pecompact":  # profiling cut: + gates/slot ranks
+            return jnp.stack([jnp.sum(slot_u), jnp.sum(n_acc),
+                              jnp.sum(heap_fb), jnp.sum(keep)])
 
         # --- score every kept candidate (Pallas) ---
         md = extras[:, 2]
@@ -1730,16 +1729,18 @@ def build_stage12pe(lmax: int, max_candidates: int, n_index2: int,
                                  jnp.cumsum(bwm)])
         bw_fb = (b_atx[uend_at] - b_atx[ustart_c]) > 0
         jdest = jnp.where(job_ok & (bw_c <= BW_MAX), jexc, J)
-        # ONE row scatter for the four job fields; bw-overflow jobs fall
-        # out of jdest and are detected per unit below
+        # ONE row scatter for the five job fields; bw-overflow jobs fall
+        # out of jdest and are detected per unit below (their hole rows
+        # carry fill values, read only by units already flagged bw_fb)
         jfill = jnp.concatenate(
             [jnp.zeros((J + 1, 1), jnp.int32),
              jnp.full((J + 1, 1), 32767, jnp.int32),
              jnp.ones((J + 1, 1), jnp.int32),
-             jnp.zeros((J + 1, 1), jnp.int32)], axis=1)
+             jnp.zeros((J + 1, 1), jnp.int32),
+             jnp.full((J + 1, 1), INF32, jnp.int32)], axis=1)
         jrows = jfill.at[jdest].set(jnp.stack(
             [b_of, jax.lax.bitcast_convert_type(pos, jnp.int32),
-             jnp.minimum(bw_c, BW_MAX), extras[:, 3]], axis=1))
+             jnp.minimum(bw_c, BW_MAX), extras[:, 3], d], axis=1))
         junit = jrows[:J, 0]
         jpos = jax.lax.bitcast_convert_type(jrows[:J, 1], jnp.uint32)
         jbw, jqsz = jrows[:J, 2], jrows[:J, 3]
@@ -1773,19 +1774,23 @@ def build_stage12pe(lmax: int, max_candidates: int, n_index2: int,
                               jnp.sum(jqsz), jnp.sum(n_acc)])
 
         # slot (u, k) holds the unit's k-th kept candidate, whose job rank
-        # is the unit's kept-prefix base + k: ONE (B, K) gather replaces a
-        # (gflat -> B*K) scatter of scores
+        # is the unit's kept-prefix base + k: (B, K) gathers of score,
+        # pos and d from the job rows replace the per-candidate slot
+        # scatter (see the note above)
         kbase = k_atx[ust_c]
         kidx = jnp.arange(K, dtype=jnp.int32)[None, :]
         slot_live = kidx < jnp.minimum(n_acc, K - 1)[:, None]
         jrank = jnp.minimum(kbase[:, None] + kidx, J - 1)
-        scrK = jnp.where(slot_live & (jrank < J), scores_j[jrank], 0)
+        live = slot_live & (jrank < J)
+        scrK = jnp.where(live, scores_j[jrank], 0)
 
         fb = overflow | heap_fb | bw_fb | job_fb | (
             (lens > 0) & (lens < DEVICE_MIN_LEN))
         cnt = jnp.where(fb, -1, n_acc)
-        posKm = posK.reshape(B, K)
-        dKm = dKf[: B * K].reshape(B, K)
+        posKm = jnp.where(
+            live, jax.lax.bitcast_convert_type(jrows[:J, 1], jnp.uint32)[
+                jrank], np.uint32(INF32))
+        dKm = jnp.where(live, jrows[:J, 4][jrank], INF32)
         ds = (dKm << 16) | (scrK & 0xFFFF)
 
         # --- device mating sweep (best_pair, abismal.cpp:1722-1831):
@@ -1814,6 +1819,10 @@ def build_stage12pe(lmax: int, max_candidates: int, n_index2: int,
         dupS = jnp.concatenate(
             [jnp.zeros((B, 1), bool), posS[:, 1:] == posS[:, :-1]], axis=1)
         vS = (posS != BIGU) & ~dupS
+        if cut == "pesort":  # profiling cut: + slot-grid sort/dedup
+            return jnp.stack([jnp.sum(jax.lax.bitcast_convert_type(
+                posS, jnp.int32)), jnp.sum(dS), jnp.sum(sS),
+                jnp.sum(vS)])
         posP = posS.reshape(Rp, per, K)
         dP = dS.reshape(Rp, per, K)
         sP = sS.reshape(Rp, per, K)
@@ -1878,6 +1887,9 @@ def build_stage12pe(lmax: int, max_candidates: int, n_index2: int,
                 eq_after.astype(jnp.int32), fbm.astype(jnp.int32),
             ], axis=1))
         mate = jnp.concatenate(recs, axis=1)  # (Rp, O*10)
+        if cut == "pegrid":  # profiling cut: + orientation mating grids
+            return jnp.stack([jnp.sum(mate), jnp.sum(cnt),
+                              jnp.sum(jnp.asarray(0)), jnp.sum(n_acc)])
 
         # ONE packed (B, 2K + 6) i32 output row per unit:
         # [pos(K) | ds(K) | cnt(1) | mate-slice(5)] -- unit per*r + u
