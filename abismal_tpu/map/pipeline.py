@@ -1729,21 +1729,24 @@ def build_stage12pe(lmax: int, max_candidates: int, n_index2: int,
                                  jnp.cumsum(bwm)])
         bw_fb = (b_atx[uend_at] - b_atx[ustart_c]) > 0
         jdest = jnp.where(job_ok & (bw_c <= BW_MAX), jexc, J)
-        # ONE row scatter for the five job fields; bw-overflow jobs fall
+        # ONE row scatter for the job fields, kept at FOUR i32 columns
+        # (16 B rows; a fifth column bumps the stride to 20 B and costs
+        # ~1.7 ms/chunk at GB scale): d rides the high half of the qsz
+        # column (d <= lmax <= 512, qsz < 2^16).  bw-overflow jobs fall
         # out of jdest and are detected per unit below (their hole rows
         # carry fill values, read only by units already flagged bw_fb)
         jfill = jnp.concatenate(
             [jnp.zeros((J + 1, 1), jnp.int32),
              jnp.full((J + 1, 1), 32767, jnp.int32),
              jnp.ones((J + 1, 1), jnp.int32),
-             jnp.zeros((J + 1, 1), jnp.int32),
-             jnp.full((J + 1, 1), INF32, jnp.int32)], axis=1)
+             jnp.zeros((J + 1, 1), jnp.int32)], axis=1)
         jrows = jfill.at[jdest].set(jnp.stack(
             [b_of, jax.lax.bitcast_convert_type(pos, jnp.int32),
-             jnp.minimum(bw_c, BW_MAX), extras[:, 3], d], axis=1))
+             jnp.minimum(bw_c, BW_MAX),
+             (d << 16) | extras[:, 3]], axis=1))
         junit = jrows[:J, 0]
         jpos = jax.lax.bitcast_convert_type(jrows[:J, 1], jnp.uint32)
-        jbw, jqsz = jrows[:J, 2], jrows[:J, 3]
+        jbw, jqsz = jrows[:J, 2], jrows[:J, 3] & 0xFFFF
 
         rows = pnib[junit]
         q = jnp.stack([rows & np.uint8(0xF), rows >> np.uint8(4)],
@@ -1790,7 +1793,7 @@ def build_stage12pe(lmax: int, max_candidates: int, n_index2: int,
         posKm = jnp.where(
             live, jax.lax.bitcast_convert_type(jrows[:J, 1], jnp.uint32)[
                 jrank], np.uint32(INF32))
-        dKm = jnp.where(live, jrows[:J, 4][jrank], INF32)
+        dKm = jnp.where(live, jrows[:J, 3][jrank] >> 16, INF32)
         ds = (dKm << 16) | (scrK & 0xFFFF)
 
         # --- device mating sweep (best_pair, abismal.cpp:1722-1831):
@@ -1813,30 +1816,50 @@ def build_stage12pe(lmax: int, max_candidates: int, n_index2: int,
         Rp = B // per
         O = per // 2
         BIGU = np.uint32(0xFFFFFFFF)
-        posS, dS, sS = jax.lax.sort(
-            (jnp.where(slot_live, posKm, BIGU), dKm, scrK),
-            dimension=1, num_keys=1)
-        dupS = jnp.concatenate(
-            [jnp.zeros((B, 1), bool), posS[:, 1:] == posS[:, :-1]], axis=1)
-        vS = (posS != BIGU) & ~dupS
-        if cut == "pesort":  # profiling cut: + slot-grid sort/dedup
-            return jnp.stack([jnp.sum(jax.lax.bitcast_convert_type(
-                posS, jnp.int32)), jnp.sum(dS), jnp.sum(sS),
-                jnp.sum(vS)])
-        posP = posS.reshape(Rp, per, K)
-        dP = dS.reshape(Rp, per, K)
-        sP = sS.reshape(Rp, per, K)
-        vP = vS.reshape(Rp, per, K)
-        lensP = lens.reshape(Rp, per)
         iK = jnp.arange(K, dtype=jnp.int32)
+        # Sweep order WITHOUT a physical sort: XLA's variadic (B, K)
+        # sort measured 5.1 ms/chunk at a 1 GB index while the K x K
+        # grids it feeds cost ~1.2, so the stable (pos asc, slot asc)
+        # permutation is computed as pairwise RANKS instead.  Traversal
+        # order, dedup and winner extraction are all RELATIVE statements
+        # about that permutation, so ranks substitute exactly: rank
+        # compares replace sorted-index compares, rank minima replace
+        # sorted-axis minima, and rank-match selects replace
+        # take_along_axis on the sorted arrays.
+        posM = jnp.where(slot_live, posKm, BIGU)
+        pi = posM[:, :, None]
+        pj = posM[:, None, :]
+        jlt = iK[None, None, :] < iK[None, :, None]  # slot j before slot i
+        eqp = pi == pj
+        rank = jnp.sum(((pj < pi) | (eqp & jlt)).astype(jnp.int32), axis=2)
+        dup = jnp.any(eqp & jlt, axis=2)  # an earlier slot holds this pos
+        vM = slot_live & ~dup
+        if cut == "pesort":  # profiling cut: + slot-grid ranks/dedup
+            return jnp.stack([jnp.sum(jax.lax.bitcast_convert_type(
+                posM, jnp.int32)), jnp.sum(rank), jnp.sum(vM),
+                jnp.sum(dup)])
+        posP = posM.reshape(Rp, per, K)
+        dP = dKm.reshape(Rp, per, K)
+        sP = scrK.reshape(Rp, per, K)
+        vP = vM.reshape(Rp, per, K)
+        rP = rank.reshape(Rp, per, K)
+        lensP = lens.reshape(Rp, per)
         mins, maxs = pe_dist[0].astype(jnp.uint32), pe_dist[1].astype(
             jnp.uint32)
+
+        def sel(a, rr, rw):
+            """The element of a whose rank equals rw (ranks are unique
+            per row; no match -- winner-less rows -- selects 0)."""
+            return jnp.sum(jnp.where(rr == rw[:, None], a,
+                                     jnp.zeros_like(a)), axis=1)
+
         recs = []
         for o in range(O):
-            p1, d1, s1, v1 = (posP[:, 2 * o], dP[:, 2 * o], sP[:, 2 * o],
-                              vP[:, 2 * o])
-            p2, d2, s2, v2 = (posP[:, 2 * o + 1], dP[:, 2 * o + 1],
-                              sP[:, 2 * o + 1], vP[:, 2 * o + 1])
+            p1, d1, s1, v1, r1 = (posP[:, 2 * o], dP[:, 2 * o],
+                                  sP[:, 2 * o], vP[:, 2 * o], rP[:, 2 * o])
+            p2, d2, s2, v2, r2 = (posP[:, 2 * o + 1], dP[:, 2 * o + 1],
+                                  sP[:, 2 * o + 1], vP[:, 2 * o + 1],
+                                  rP[:, 2 * o + 1])
             lim = p2 + lensP[:, 2 * o + 1, None].astype(jnp.uint32)  # (Rp,K)
             # grid axes: i over res1 slots (axis 1), j over res2 (axis 2)
             limj = lim[:, None, :]
@@ -1845,27 +1868,27 @@ def build_stage12pe(lmax: int, max_candidates: int, n_index2: int,
                     & (p1i + mins <= limj) & (p1i + maxs >= limj))
             scrP = s1[:, :, None] + s2[:, None, :]
             sdP = d1[:, :, None] + d2[:, None, :]
-            # traversal order: j2 (res2) outer ascending, j1 inner
-            ordg = (iK[None, None, :] * K + iK[None, :, None])
+            # traversal order: res2 rank outer ascending, res1 rank inner
+            ordg = r2[:, None, :] * K + r1[:, :, None]
             M = jnp.max(jnp.where(conc, scrP, -1), axis=(1, 2))
             isM = conc & (scrP == M[:, None, None])
             key2 = sdP * (K * K) + ordg
             k2m = jnp.min(jnp.where(isM, key2, 0x3FFFFFFF), axis=(1, 2))
             sd_w = k2m // (K * K)
             ord_w = k2m % (K * K)
-            j_w = jnp.minimum(ord_w // K, K - 1)[:, None]
-            i_w = jnp.minimum(ord_w % K, K - 1)[:, None]
+            r1_w = ord_w % K
+            r2_w = ord_w // K
             eq_after = jnp.any(isM & (sdP == sd_w[:, None, None])
                                & (ordg > ord_w[:, None, None]), axis=(1, 2))
             # stale end-1 score: last COMPUTED (first window for its j1,
             # or zero-score recompute) at or before the winning update
-            firstj = jnp.min(jnp.where(conc, iK[None, None, :], K), axis=2)
-            computed = conc & ((iK[None, None, :] == firstj[:, :, None])
+            firstr2 = jnp.min(jnp.where(conc, r2[:, None, :], K), axis=2)
+            computed = conc & ((r2[:, None, :] == firstr2[:, :, None])
                                | (s1[:, :, None] == 0))
             cord = jnp.where(computed & (ordg <= ord_w[:, None, None]),
                              ordg, -1)
             cmax = jnp.max(cord, axis=(1, 2))
-            i_c = jnp.minimum(jnp.maximum(cmax, 0) % K, K - 1)[:, None]
+            r1_c = jnp.maximum(cmax, 0) % K
             # mid-sweep sure-ambig divergence guard: at the maximum
             # possible pair score (2*(l1+l2) all-match, where the
             # reference's sweep STOPS once a tie sets ambig,
@@ -1878,12 +1901,12 @@ def build_stage12pe(lmax: int, max_candidates: int, n_index2: int,
             maxscr = 2 * (lensP[:, 2 * o] + lensP[:, 2 * o + 1])
             fbm = (M == maxscr) & jnp.any(
                 isM & (sdP != sd_w[:, None, None]), axis=(1, 2))
-            ta = lambda a, idx: jnp.take_along_axis(a, idx, axis=1)[:, 0]
             recs.append(jnp.stack([
                 (M >= 0).astype(jnp.int32), M,
-                jax.lax.bitcast_convert_type(ta(p1, i_w), jnp.int32),
-                jax.lax.bitcast_convert_type(ta(p2, j_w), jnp.int32),
-                ta(d1, i_w), ta(d2, j_w), ta(s1, i_c), ta(s2, j_w),
+                jax.lax.bitcast_convert_type(sel(p1, r1, r1_w), jnp.int32),
+                jax.lax.bitcast_convert_type(sel(p2, r2, r2_w), jnp.int32),
+                sel(d1, r1, r1_w), sel(d2, r2, r2_w),
+                sel(s1, r1, r1_c), sel(s2, r2, r2_w),
                 eq_after.astype(jnp.int32), fbm.astype(jnp.int32),
             ], axis=1))
         mate = jnp.concatenate(recs, axis=1)  # (Rp, O*10)
